@@ -1,0 +1,70 @@
+"""Ground-truth optical flow between rendered and observed views.
+
+TPU-native rebuild of mx-DeepIM ``lib/pair_matching/flow.py §calc_flow``
+(host numpy hot loop in the reference): back-project the *rendered* depth
+map at the source pose, move those 3D points through the relative pose
+(src → tgt), re-project, and report per-pixel displacement.  Optionally
+checks visibility against the observed (target-pose) depth map so occluded
+pixels are excluded from the flow loss.
+
+Fully vectorized jax; runs inside the jitted training step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deepim_tpu.geometry.se3 import se3_mul, se3_inverse
+from deepim_tpu.ops.resample import nearest_sample
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def calc_flow(
+    depth_src: jax.Array,  # (H, W) rendered depth at src pose (0 = bg)
+    pose_src: jax.Array,  # (3, 4)
+    pose_tgt: jax.Array,  # (3, 4)
+    k: jax.Array,  # (3, 3)
+    depth_tgt: jax.Array | None = None,  # (H, W) for occlusion check
+    occlusion_tol: float = 0.02,  # meters
+) -> tuple[jax.Array, jax.Array]:
+    """→ (flow (H, W, 2) src→tgt in pixels, valid (H, W) bool).
+
+    ``valid`` is the rendered foreground, intersected with the visibility
+    check when ``depth_tgt`` is given (point not behind the observed
+    surface by more than ``occlusion_tol``).
+    """
+    h, w = depth_src.shape
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+
+    fg = depth_src > 0
+    z = jnp.where(fg, depth_src, 1.0)
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    pts_src = jnp.stack([x, y, z], axis=-1)  # (H, W, 3) camera @ src pose
+
+    rel = se3_mul(pose_tgt, se3_inverse(pose_src))  # src-cam → tgt-cam
+    pts_tgt = (
+        jnp.einsum("ij,hwj->hwi", rel[:, :3], pts_src, precision=_HI) + rel[:, 3]
+    )
+    z_t = jnp.maximum(pts_tgt[..., 2], 1e-6)
+    u_t = fx * pts_tgt[..., 0] / z_t + cx
+    v_t = fy * pts_tgt[..., 1] / z_t + cy
+
+    flow = jnp.stack([u_t - u, v_t - v], axis=-1)
+    valid = fg
+
+    if depth_tgt is not None:
+        obs = nearest_sample(
+            depth_tgt[..., None], jnp.stack([u_t, v_t], axis=-1), fill_value=0.0
+        )[..., 0]
+        visible = (obs > 0) & (z_t <= obs + occlusion_tol)
+        valid = valid & visible
+
+    flow = jnp.where(valid[..., None], flow, 0.0)
+    return flow, valid

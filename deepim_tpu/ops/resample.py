@@ -1,0 +1,80 @@
+"""Bilinear resampling on-device (gather + lerp), jit/vmap-safe.
+
+The workhorse under the fused zoom op (and any future warp ops).  The
+reference does this on host with cv2/numpy inside MXNet CustomOps
+(``deepim/operator_py/zoom_*.py``); here it is a pure XLA gather so the
+refinement loop never leaves the device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, coords: jax.Array,
+                    fill_value: float = 0.0) -> jax.Array:
+    """Sample ``img`` (H, W, C) at ``coords`` (..., 2) given as (x, y) pixel
+    positions (pixel centers at integer + 0.5, matching the rasterizer).
+
+    Out-of-bounds samples return ``fill_value``.  Returns (..., C).
+    """
+    h, w = img.shape[0], img.shape[1]
+    x = coords[..., 0] - 0.5
+    y = coords[..., 1] - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+
+    def tap(yi, xi):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        v = img[yi_c, xi_c]
+        return jnp.where(inb[..., None], v, fill_value)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    top = v00 * (1 - tx)[..., None] + v01 * tx[..., None]
+    bot = v10 * (1 - tx)[..., None] + v11 * tx[..., None]
+    return top * (1 - ty)[..., None] + bot * ty[..., None]
+
+
+def nearest_sample(img: jax.Array, coords: jax.Array,
+                   fill_value: float = 0.0) -> jax.Array:
+    """Nearest-neighbor variant (for masks / depth where lerp is wrong).
+
+    Same conventions as :func:`bilinear_sample`.
+    """
+    h, w = img.shape[0], img.shape[1]
+    x = coords[..., 0] - 0.5
+    y = coords[..., 1] - 0.5
+    xi = jnp.round(x)
+    yi = jnp.round(y)
+    inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+    v = img[yi_c, xi_c]
+    return jnp.where(inb[..., None], v, fill_value)
+
+
+def affine_grid(out_size: tuple[int, int], x0, y0, sx, sy) -> jax.Array:
+    """Pixel-center sample coords for an axis-aligned affine crop.
+
+    Output pixel (i, j) samples source position
+    ``x = x0 + (j + 0.5) / sx``, ``y = y0 + (i + 0.5) / sy`` — the inverse
+    of the crop→output map used by :func:`deepim_tpu.raster.camera.
+    crop_intrinsics` (so a zoomed *render* and a zoomed *resample* align).
+    """
+    oh, ow = out_size
+    jj = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / sx
+    ii = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / sy
+    xs = x0 + jj[None, :]
+    ys = y0 + ii[:, None]
+    return jnp.stack(
+        [jnp.broadcast_to(xs, (oh, ow)), jnp.broadcast_to(ys, (oh, ow))], axis=-1
+    )

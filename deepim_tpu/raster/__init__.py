@@ -1,0 +1,34 @@
+"""On-device mesh rasterization: the TPU-native replacement for the
+reference's glumpy/OpenGL offscreen renderer (``lib/render_glumpy/``).
+
+- :mod:`deepim_tpu.raster.mesh`       — mesh containers, procedural meshes,
+  PLY IO, decimation, surface sampling.
+- :mod:`deepim_tpu.raster.camera`     — intrinsics bookkeeping.
+- :mod:`deepim_tpu.raster.raster_xla` — brute-force XLA oracle renderer.
+- :mod:`deepim_tpu.raster.raster_pallas` — tiled, face-binned Pallas kernel
+  (the production path on TPU).
+"""
+
+from deepim_tpu.raster.mesh import (
+    Mesh,
+    make_mesh,
+    box_mesh,
+    icosphere_mesh,
+    cylinder_mesh,
+    torus_mesh,
+    PROCEDURAL_MESHES,
+    load_ply,
+    save_ply,
+    pad_mesh,
+    decimate_mesh,
+    sample_points,
+    compute_vertex_normals,
+)
+from deepim_tpu.raster.camera import make_intrinsics, crop_intrinsics
+from deepim_tpu.raster.raster_xla import (
+    render_mesh,
+    project_vertices,
+    shade_vertices,
+    Lighting,
+    FLAT_LIGHTING,
+)

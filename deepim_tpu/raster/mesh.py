@@ -1,0 +1,422 @@
+"""Mesh containers, procedural test meshes, PLY IO, and surface sampling.
+
+Replaces the reference's mesh handling in ``lib/render_glumpy/render_py.py
+§Render_Py.__init__`` (which loads .ply/.obj into OpenGL vertex/index
+buffers).  TPU-first differences:
+
+- Meshes are plain numpy/jax arrays with **static shapes**; ``pad_mesh``
+  pads vertices/faces to fixed budgets so a whole object set batches into
+  one array (degenerate padding faces rasterize to nothing).
+- Texture sampling is avoided in v1 by baking per-vertex colors (the
+  LINEMOD models are vertex-colored; textured YCB meshes are baked at load).
+- ``sample_points`` provides the ~3000 model points used by the
+  point-matching loss (reference: points_{obj}.xyz files / mesh sampling).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Mesh:
+    """A triangle mesh with per-vertex colors (all numpy, host-side).
+
+    vertices: (V, 3) float32, object frame (meters).
+    faces:    (F, 3) int32 vertex indices.
+    colors:   (V, 3) float32 in [0, 1].
+    normals:  (V, 3) float32 unit vertex normals (for Gouraud lighting).
+    """
+
+    vertices: np.ndarray
+    faces: np.ndarray
+    colors: np.ndarray
+    normals: np.ndarray
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+    @property
+    def num_faces(self) -> int:
+        return int(self.faces.shape[0])
+
+    @property
+    def diameter(self) -> float:
+        """Max pairwise extent approximation: diagonal of the AABB is an
+        upper bound; for metric thresholds (0.1d) we use the true max
+        pairwise distance over a subsample."""
+        v = self.vertices
+        if v.shape[0] > 1000:
+            idx = np.random.RandomState(0).choice(v.shape[0], 1000, replace=False)
+            v = v[idx]
+        d2 = np.sum((v[:, None, :] - v[None, :, :]) ** 2, axis=-1)
+        return float(np.sqrt(d2.max()))
+
+
+def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (numpy, load-time only)."""
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
+    normals = np.zeros_like(vertices)
+    for i in range(3):
+        np.add.at(normals, faces[:, i], fn)
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return (normals / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def make_mesh(vertices, faces, colors=None) -> Mesh:
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    if colors is None:
+        colors = np.full_like(vertices, 0.7)
+    colors = np.asarray(colors, np.float32)
+    return Mesh(vertices, faces, colors, compute_vertex_normals(vertices, faces))
+
+
+# ---------------------------------------------------------------------------
+# Procedural meshes (test fixtures + synthetic-data objects; the sandbox has
+# no LINEMOD/YCB assets, so these stand in for real scanned models).
+# ---------------------------------------------------------------------------
+
+
+def box_mesh(size=(0.1, 0.1, 0.1), face_colors=None) -> Mesh:
+    """Axis-aligned box centered at origin; 24 verts (faceted) 12 tris.
+
+    Distinct per-face colors by default so orientation is observable in
+    renders (used heavily by golden tests).
+    """
+    sx, sy, sz = (s * 0.5 for s in size)
+    # 6 faces, each with its own 4 vertices (so colors/normals are flat).
+    quads = [
+        # +z, -z, +x, -x, +y, -y
+        [(-sx, -sy, sz), (sx, -sy, sz), (sx, sy, sz), (-sx, sy, sz)],
+        [(sx, -sy, -sz), (-sx, -sy, -sz), (-sx, sy, -sz), (sx, sy, -sz)],
+        [(sx, -sy, sz), (sx, -sy, -sz), (sx, sy, -sz), (sx, sy, sz)],
+        [(-sx, -sy, -sz), (-sx, -sy, sz), (-sx, sy, sz), (-sx, sy, -sz)],
+        [(-sx, sy, sz), (sx, sy, sz), (sx, sy, -sz), (-sx, sy, -sz)],
+        [(-sx, -sy, -sz), (sx, -sy, -sz), (sx, -sy, sz), (-sx, -sy, sz)],
+    ]
+    if face_colors is None:
+        face_colors = [
+            (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 1), (0, 1, 1),
+        ]
+    verts, faces, cols = [], [], []
+    for qi, quad in enumerate(quads):
+        base = len(verts)
+        verts.extend(quad)
+        cols.extend([face_colors[qi % len(face_colors)]] * 4)
+        faces.append((base, base + 1, base + 2))
+        faces.append((base, base + 2, base + 3))
+    return make_mesh(verts, faces, cols)
+
+
+def icosphere_mesh(radius=0.05, subdivisions=2, color=(0.8, 0.5, 0.2)) -> Mesh:
+    """Icosphere: 20 * 4^s faces (s=2 → 320 faces, 162 verts)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+            (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+            (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
+        ],
+        np.float64,
+    )
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    verts = [tuple(v / np.linalg.norm(v)) for v in verts]
+    cache: dict[tuple[int, int], int] = {}
+
+    def midpoint(i, j):
+        key = (min(i, j), max(i, j))
+        if key not in cache:
+            m = np.asarray(verts[i]) + np.asarray(verts[j])
+            verts.append(tuple(m / np.linalg.norm(m)))
+            cache[key] = len(verts) - 1
+        return cache[key]
+
+    for _ in range(subdivisions):
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (ab, b, bc), (ca, bc, c), (ab, bc, ca)]
+        faces = new_faces
+
+    v = np.asarray(verts, np.float32) * radius
+    # Color varies with position so rotations are observable.
+    c = 0.5 + 0.5 * (v / radius)
+    c = np.clip(c * np.asarray(color) * 1.4, 0, 1).astype(np.float32)
+    return make_mesh(v, faces, c)
+
+
+def cylinder_mesh(radius=0.03, height=0.12, segments=24, color=(0.2, 0.6, 0.9)) -> Mesh:
+    """Closed cylinder along z, centered at origin."""
+    angles = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([np.cos(angles) * radius, np.sin(angles) * radius], -1)
+    top = np.concatenate([ring, np.full((segments, 1), height / 2)], -1)
+    bot = np.concatenate([ring, np.full((segments, 1), -height / 2)], -1)
+    verts = np.concatenate([top, bot, [[0, 0, height / 2]], [[0, 0, -height / 2]]])
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        faces += [(i, segments + i, segments + j), (i, segments + j, j)]
+        faces += [(2 * segments, j, i)]  # top cap
+        faces += [(2 * segments + 1, segments + i, segments + j)]  # bottom cap
+    c = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    c[:segments] *= 1.2  # brighter top ring → orientation visible
+    return make_mesh(verts, faces, np.clip(c, 0, 1))
+
+
+def torus_mesh(r_major=0.05, r_minor=0.02, n_major=24, n_minor=12,
+               color=(0.8, 0.3, 0.5)) -> Mesh:
+    """Torus in the xy-plane (a z-symmetric object for ADD-S testing)."""
+    verts, cols = [], []
+    for i in range(n_major):
+        a = 2 * np.pi * i / n_major
+        for j in range(n_minor):
+            b = 2 * np.pi * j / n_minor
+            x = (r_major + r_minor * np.cos(b)) * np.cos(a)
+            y = (r_major + r_minor * np.cos(b)) * np.sin(a)
+            z = r_minor * np.sin(b)
+            verts.append((x, y, z))
+            shade = 0.6 + 0.4 * np.cos(b)
+            cols.append(tuple(np.asarray(color) * shade))
+    faces = []
+    for i in range(n_major):
+        for j in range(n_minor):
+            a0 = i * n_minor + j
+            a1 = i * n_minor + (j + 1) % n_minor
+            b0 = ((i + 1) % n_major) * n_minor + j
+            b1 = ((i + 1) % n_major) * n_minor + (j + 1) % n_minor
+            faces += [(a0, b0, b1), (a0, b1, a1)]
+    return make_mesh(verts, faces, cols)
+
+
+PROCEDURAL_MESHES = {
+    "box": box_mesh,
+    "icosphere": icosphere_mesh,
+    "cylinder": cylinder_mesh,
+    "torus": torus_mesh,
+}
+
+
+# ---------------------------------------------------------------------------
+# PLY IO (LINEMOD/YCB model format). ASCII and binary_little_endian.
+# ---------------------------------------------------------------------------
+
+
+def load_ply(path: str) -> Mesh:
+    """Minimal PLY reader: xyz (+ rgb/nxnynz if present) + triangle faces.
+
+    Covers the LM6d ``models/<obj>/textured.ply``-style vertex-colored
+    meshes.  Quads are triangulated by fanning.
+    """
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        elements = []  # (name, count, [(type, prop)...])
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    elements[-1][2].append(("list", parts[2], parts[3], parts[4]))
+                else:
+                    elements[-1][2].append(("scalar", parts[1], parts[2]))
+
+        type_map = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "ushort": "u2", "uint16": "u2", "short": "i2", "int16": "i2",
+            "uint": "u4", "uint32": "u4", "int": "i4", "int32": "i4",
+        }
+
+        data = {}
+        if fmt == "ascii":
+            for name, count, props in elements:
+                rows = []
+                for _ in range(count):
+                    rows.append(f.readline().decode("ascii").split())
+                data[name] = (rows, props)
+        elif fmt == "binary_little_endian":
+            for name, count, props in elements:
+                if all(p[0] == "scalar" for p in props):
+                    # props entries: ("scalar", <type>, <name>)
+                    dt = np.dtype([(p[2], "<" + type_map[p[1]]) for p in props])
+                    arr = np.frombuffer(f.read(dt.itemsize * count), dtype=dt)
+                    data[name] = (arr, props)
+                else:
+                    # list properties (faces): parse row by row
+                    rows = []
+                    for _ in range(count):
+                        row = []
+                        for p in props:
+                            if p[0] == "list":
+                                cnt_t = np.dtype("<" + type_map[p[1]])
+                                idx_t = np.dtype("<" + type_map[p[2]])
+                                n = int(np.frombuffer(f.read(cnt_t.itemsize), cnt_t)[0])
+                                row.append(
+                                    np.frombuffer(f.read(idx_t.itemsize * n), idx_t)
+                                )
+                            else:
+                                st = np.dtype("<" + type_map[p[2]])
+                                row.append(np.frombuffer(f.read(st.itemsize), st)[0])
+                        rows.append(row)
+                    data[name] = (rows, props)
+        else:
+            raise ValueError(f"unsupported PLY format: {fmt}")
+
+    # Vertices
+    vrows, vprops = data["vertex"]
+    names = [p[2] for p in vprops if p[0] == "scalar"]
+    if isinstance(vrows, np.ndarray):
+        get = lambda n: vrows[n].astype(np.float32)
+    else:
+        cols_arr = np.asarray(vrows, np.float64)
+        get = lambda n: cols_arr[:, names.index(n)].astype(np.float32)
+    vertices = np.stack([get("x"), get("y"), get("z")], -1)
+    if "red" in names:
+        colors = np.stack([get("red"), get("green"), get("blue")], -1) / 255.0
+    else:
+        colors = np.full_like(vertices, 0.7)
+
+    # Faces (fan-triangulate polygons)
+    frows, _ = data.get("face", ([], []))
+    tris = []
+    for row in frows:
+        if isinstance(row[0], str):  # ascii: ["3", "0", "1", "2", ...]
+            n = int(row[0])
+            idx = np.asarray(row[1 : 1 + n], np.int64)
+        else:  # binary: first entry is the parsed index array
+            idx = np.asarray(row[0], np.int64)
+        for k in range(1, len(idx) - 1):
+            tris.append((idx[0], idx[k], idx[k + 1]))
+    faces = np.asarray(tris, np.int32).reshape(-1, 3)
+    return make_mesh(vertices, faces, colors)
+
+
+def save_ply(path: str, mesh: Mesh) -> None:
+    """ASCII PLY writer (round-trip fixture for the loader)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {mesh.num_vertices}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {mesh.num_faces}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v, c in zip(mesh.vertices, mesh.colors):
+            r, g, b = (int(np.clip(x * 255, 0, 255)) for x in c)
+            f.write(f"{v[0]} {v[1]} {v[2]} {r} {g} {b}\n")
+        for face in mesh.faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+# ---------------------------------------------------------------------------
+# Static-shape utilities for batched on-device rendering.
+# ---------------------------------------------------------------------------
+
+
+def pad_mesh(mesh: Mesh, num_vertices: int, num_faces: int) -> Mesh:
+    """Pad to fixed budgets so meshes of different sizes batch together.
+
+    Padding faces are degenerate (all three indices point at a padding
+    vertex) and therefore rasterize to zero area — no masking needed in
+    the raster kernel.
+    """
+    if mesh.num_vertices > num_vertices or mesh.num_faces > num_faces:
+        raise ValueError(
+            f"mesh ({mesh.num_vertices}V/{mesh.num_faces}F) exceeds budget "
+            f"({num_vertices}V/{num_faces}F); decimate first"
+        )
+    pv = num_vertices - mesh.num_vertices
+    pf = num_faces - mesh.num_faces
+    vertices = np.concatenate([mesh.vertices, np.zeros((pv, 3), np.float32)])
+    colors = np.concatenate([mesh.colors, np.zeros((pv, 3), np.float32)])
+    normals = np.concatenate([mesh.normals, np.zeros((pv, 3), np.float32)])
+    pad_face = np.full((pf, 3), mesh.num_vertices, np.int32)  # degenerate
+    if pv == 0:
+        pad_face = np.zeros((pf, 3), np.int32)
+        pad_face[:] = mesh.faces[0, 0] if mesh.num_faces else 0
+    faces = np.concatenate([mesh.faces, pad_face])
+    return Mesh(vertices, faces, colors, normals)
+
+
+def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:
+    """Cheap vertex-clustering decimation to bound raster cost.
+
+    Quantizes vertices onto a uniform grid (binary-searched resolution),
+    merges vertices per cell, drops degenerate faces.  Not feature-
+    preserving like quadric decimation, but adequate for render-and-compare
+    at 1-2 px triangle scale (the CNN compares crops, not silhouette
+    microstructure).
+    """
+    if mesh.num_faces <= max_faces:
+        return mesh
+    lo, hi = 4, 512  # grid resolutions to search
+    best = None
+    vmin = mesh.vertices.min(0)
+    extent = max(float((mesh.vertices.max(0) - vmin).max()), 1e-9)
+    while lo <= hi:
+        res = (lo + hi) // 2
+        cell = np.floor((mesh.vertices - vmin) / extent * (res - 1e-4)).astype(np.int64)
+        key = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        # merged vertex = mean of cluster
+        counts = np.bincount(inv)
+        new_v = np.zeros((len(uniq), 3), np.float64)
+        new_c = np.zeros((len(uniq), 3), np.float64)
+        for d in range(3):
+            new_v[:, d] = np.bincount(inv, mesh.vertices[:, d]) / counts
+            new_c[:, d] = np.bincount(inv, mesh.colors[:, d]) / counts
+        nf = inv[mesh.faces]
+        keep = (
+            (nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2]) & (nf[:, 0] != nf[:, 2])
+        )
+        nf = nf[keep]
+        # dedupe faces irrespective of winding-preserving rotation
+        sorted_f = np.sort(nf, axis=1)
+        _, uidx = np.unique(sorted_f, axis=0, return_index=True)
+        nf = nf[np.sort(uidx)]
+        if nf.shape[0] <= max_faces:
+            best = make_mesh(new_v, nf.astype(np.int32), new_c)
+            lo = res + 1  # try finer
+        else:
+            hi = res - 1
+    if best is None:  # even res=4 too many faces (pathological) — subsample
+        keep = np.random.RandomState(seed).choice(
+            mesh.num_faces, max_faces, replace=False
+        )
+        best = make_mesh(mesh.vertices, mesh.faces[np.sort(keep)], mesh.colors)
+    return best
+
+
+def sample_points(mesh: Mesh, n: int = 3000, seed: int = 0) -> np.ndarray:
+    """Area-weighted surface point sampling → (n, 3) float32.
+
+    The point set consumed by the point-matching loss and the ADD(-S)
+    metrics (reference keeps these in per-object point files).
+    """
+    rng = np.random.RandomState(seed)
+    v0, v1, v2 = (mesh.vertices[mesh.faces[:, i]] for i in range(3))
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    probs = areas / max(areas.sum(), 1e-12)
+    fidx = rng.choice(mesh.num_faces, n, p=probs)
+    r1, r2 = rng.rand(n, 1), rng.rand(n, 1)
+    s = np.sqrt(r1)
+    pts = (1 - s) * v0[fidx] + s * (1 - r2) * v1[fidx] + s * r2 * v2[fidx]
+    return pts.astype(np.float32)

@@ -1,0 +1,95 @@
+"""Pallas rasterizer vs the XLA oracle (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepim_tpu.geometry import se3_from_rt, euler2mat
+from deepim_tpu.raster import (
+    box_mesh,
+    icosphere_mesh,
+    torus_mesh,
+    render_mesh,
+    make_intrinsics,
+    Lighting,
+)
+from deepim_tpu.raster.raster_pallas import render_batch
+
+H, W = 64, 128
+K = make_intrinsics(fx=100.0, fy=100.0, cx=W / 2, cy=H / 2)
+
+
+def _args(m):
+    return (
+        jnp.asarray(m.vertices), jnp.asarray(m.faces),
+        jnp.asarray(m.colors), jnp.asarray(m.normals),
+    )
+
+
+def _poses(n, seed=0, z=0.5):
+    key = jax.random.PRNGKey(seed)
+    ka, kz = jax.random.split(key)
+    angles = jax.random.uniform(ka, (n, 3), minval=-0.8, maxval=0.8)
+    zs = jax.random.uniform(kz, (n,), minval=z * 0.8, maxval=z * 1.3)
+    rs = jax.vmap(euler2mat)(angles[:, 0], angles[:, 1], angles[:, 2])
+    ts = jnp.stack([jnp.zeros(n), jnp.zeros(n), zs], -1)
+    return jax.vmap(se3_from_rt)(rs, ts)
+
+
+def _compare(mesh, poses, lighting=None, atol_frac=0.002):
+    kwargs = {} if lighting is None else {"lighting": lighting}
+    ks = jnp.tile(K, (poses.shape[0], 1, 1))
+    rgb_p, d_p = render_batch(*_args(mesh), poses, ks, (H, W),
+                              interpret=True, **kwargs)
+    oracle = jax.vmap(
+        lambda p: render_mesh(*_args(mesh), p, K, (H, W), **kwargs)
+    )
+    rgb_o, d_o = oracle(poses)
+    # Sub-pixel edge decisions may differ in float order-of-ops; allow a
+    # small fraction of differing pixels but require bulk agreement.
+    rgb_close = np.isclose(np.asarray(rgb_p), np.asarray(rgb_o), atol=2e-2)
+    d_close = np.isclose(np.asarray(d_p), np.asarray(d_o), atol=1e-3)
+    assert rgb_close.mean() > 1 - atol_frac, f"rgb mismatch {1-rgb_close.mean():.4f}"
+    assert d_close.mean() > 1 - atol_frac, f"depth mismatch {1-d_close.mean():.4f}"
+
+
+def test_box_matches_oracle():
+    _compare(box_mesh(size=(0.15, 0.12, 0.1)), _poses(2))
+
+
+def test_sphere_matches_oracle():
+    _compare(icosphere_mesh(radius=0.08, subdivisions=2), _poses(2, seed=1))
+
+
+def test_torus_matches_oracle():
+    _compare(torus_mesh(), _poses(2, seed=2, z=0.4))
+
+
+def test_lighting_matches_oracle():
+    lit = Lighting(ambient=jnp.float32(0.3), diffuse=jnp.float32(0.7),
+                   direction=jnp.array([0.3, -0.2, -1.0]))
+    _compare(icosphere_mesh(radius=0.08, subdivisions=2), _poses(2, seed=3), lit)
+
+
+def test_per_sample_intrinsics():
+    # Different K per batch element (the zoom-K render path).
+    m = box_mesh(size=(0.1, 0.1, 0.1))
+    poses = _poses(2, seed=4)
+    k2 = make_intrinsics(fx=160.0, fy=160.0, cx=W / 2, cy=H / 2)
+    ks = jnp.stack([K, k2])
+    rgb, depth = render_batch(*_args(m), poses, ks, (H, W), interpret=True)
+    o1, d1 = render_mesh(*_args(m), poses[0], K, (H, W))
+    o2, d2 = render_mesh(*_args(m), poses[1], k2, (H, W))
+    assert np.isclose(np.asarray(depth[0]), np.asarray(d1), atol=1e-3).mean() > 0.998
+    assert np.isclose(np.asarray(depth[1]), np.asarray(d2), atol=1e-3).mean() > 0.998
+
+
+def test_non_tile_aligned_image():
+    m = icosphere_mesh(radius=0.08, subdivisions=1)
+    poses = _poses(1, seed=5)
+    ks = K[None]
+    rgb, depth = render_batch(*_args(m), poses, ks, (50, 70), interpret=True)
+    assert rgb.shape == (1, 50, 70, 3)
+    o, d = render_mesh(*_args(m), poses[0], K, (50, 70))
+    assert np.isclose(np.asarray(depth[0]), np.asarray(d), atol=1e-3).mean() > 0.998
