@@ -42,3 +42,10 @@ from deepim_tpu.geometry.pose_errors import (
     proj2d_error,
     add_auc,
 )
+from deepim_tpu.geometry.symmetry import (
+    LINEMOD_SYMMETRIC,
+    YCB_SYMMETRIC,
+    identity_pose,
+    rot_z_syms,
+    sym_set,
+)

@@ -206,7 +206,7 @@ def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
 )
 def render_batch(
     vertices: jax.Array,  # (V, 3) shared or (B, V, 3) per-sample
-    faces: jax.Array,  # (F, 3) int32 (shared)
+    faces: jax.Array,  # (F, 3) int32 shared, or (B, F, 3) per-sample
     colors: jax.Array,  # (V, 3) or (B, V, 3)
     normals: jax.Array,  # (V, 3) or (B, V, 3)
     poses: jax.Array,  # (B, 3, 4)
@@ -228,11 +228,19 @@ def render_batch(
     th, tw = tile
     ty = pl.cdiv(h, th)
     tx = pl.cdiv(w, tw)
-    f = faces.shape[0]
+    f = faces.shape[-2]
     max_k = min(max_faces_per_tile, f)
 
     batched_mesh = vertices.ndim == 3
-    if batched_mesh:
+    if batched_mesh and faces.ndim == 3:
+        # Per-sample meshes AND face lists (multi-class batches).
+        pack = jax.vmap(
+            lambda v, ff, c, n, p, kk: pack_face_params(
+                v, ff, c, n, p, kk, lighting, z_near
+            )
+        )
+        params, face_ok = pack(vertices, faces, colors, normals, poses, ks)
+    elif batched_mesh:
         pack = jax.vmap(
             lambda v, c, n, p, kk: pack_face_params(
                 v, faces, c, n, p, kk, lighting, z_near

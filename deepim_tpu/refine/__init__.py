@@ -1,0 +1,15 @@
+"""The jitted render→zoom→CNN→compose refinement loop.
+
+Behavioral parity target: ``deepim/core/tester.py §Predictor §pred_eval``
+(mx-DeepIM) — the reference's host-driven per-iteration loop collapsed into
+one on-device ``lax.scan``.
+"""
+
+from deepim_tpu.refine.refiner import (
+    RenderAssets,
+    build_assets,
+    gather_class,
+    refine_poses,
+    refine_step,
+    render_crops,
+)

@@ -1,0 +1,176 @@
+"""Tests: DeepIMFlowNet shapes/init behavior + loss oracles.
+
+Mirrors the verification the reference *lacks* (SURVEY.md §4): the reference
+validated its symbol graph only via end-to-end training; here the network
+contract (shapes, identity-at-init, class selection) and each loss are unit
+tested against numpy oracles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepim_tpu.geometry import DeltaPose, apply_delta, calc_delta
+from deepim_tpu.geometry.symmetry import rot_z_syms, sym_set
+from deepim_tpu.losses import (
+    flow_epe_loss,
+    mask_ce_loss,
+    point_matching_loss,
+)
+from deepim_tpu.models import (
+    DeepIMFlowNet,
+    decode_rot,
+    network_input,
+    select_class,
+)
+
+H, W = 96, 128  # small multiples of 64 for fast CPU tests
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = DeepIMFlowNet(num_classes=3, dtype=jnp.float32)
+    x = jnp.zeros((2, H, W, 6))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_output_shapes(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.ones((2, H, W, 6)) * 0.3
+    out = model.apply(variables, x)
+    assert out["rot_raw"].shape == (2, 3, 4)
+    assert out["trans"].shape == (2, 3, 3)
+    cdiv = lambda a, b: -(-a // b)  # SAME-padded stride-2 convs ceil-divide
+    for lvl, f in out["flow"].items():
+        assert f.shape == (2, cdiv(H, 2**lvl), cdiv(W, 2**lvl), 2), lvl
+    assert out["mask_logit"].shape == (2, cdiv(H, 4), cdiv(W, 4), 1)
+
+
+def test_identity_at_init(model_and_vars):
+    """Zero-init heads -> delta == identity -> pose unchanged."""
+    model, variables = model_and_vars
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, H, W, 6))
+    out = model.apply(variables, x)
+    quat = decode_rot(select_class(out["rot_raw"], jnp.array([0, 2])),
+                      "quat")
+    trans = select_class(out["trans"], jnp.array([0, 2]))
+    np.testing.assert_allclose(quat, np.tile([1, 0, 0, 0], (2, 1)), atol=1e-6)
+    np.testing.assert_allclose(trans, np.zeros((2, 3)), atol=1e-6)
+
+    pose = jnp.tile(
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.02], [-0.01], [0.7]])], 1),
+        (2, 1, 1),
+    )
+    k = jnp.tile(jnp.array([[500.0, 0, 64], [0, 500, 48], [0, 0, 1]]), (2, 1, 1))
+    new_pose = apply_delta(pose, DeltaPose(quat, trans), k)
+    np.testing.assert_allclose(new_pose, pose, atol=1e-5)
+
+
+def test_select_class():
+    per_class = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 3, 4)
+    got = select_class(per_class, jnp.array([2, 1]))
+    np.testing.assert_allclose(got[0], per_class[0, 2])
+    np.testing.assert_allclose(got[1], per_class[1, 1])
+
+
+def test_network_input_range():
+    obs = jnp.full((1, 8, 8, 3), 1.0)
+    ren = jnp.zeros((1, 8, 8, 3))
+    x = network_input(obs, ren)
+    assert x.shape == (1, 8, 8, 6)
+    assert float(x.max()) == 0.5 and float(x.min()) == -0.5
+
+
+# --- losses ---------------------------------------------------------------
+
+
+def _rand_pose(rng, z=0.8):
+    from deepim_tpu.geometry import quat2mat, random_quat
+
+    q = random_quat(jax.random.PRNGKey(rng))
+    r = quat2mat(q)
+    t = jnp.array([0.01 * rng, -0.02, z])
+    return jnp.concatenate([r, t[:, None]], axis=1)
+
+
+def test_pm_loss_zero_at_target():
+    points = jax.random.uniform(jax.random.PRNGKey(0), (2, 50, 3)) * 0.1
+    k = jnp.tile(jnp.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]),
+                 (2, 1, 1))
+    src = jnp.stack([_rand_pose(1), _rand_pose(2)])
+    tgt = jnp.stack([_rand_pose(3), _rand_pose(4)])
+    delta = calc_delta(src, tgt, k)
+    loss = point_matching_loss(points, delta, src, tgt, k)
+    np.testing.assert_allclose(loss, 0.0, atol=1e-5)
+    # identity delta -> loss equals mean L1 between src- and tgt-posed points
+    ident = DeltaPose(jnp.tile(jnp.array([1.0, 0, 0, 0]), (2, 1)),
+                      jnp.zeros((2, 3)))
+    loss_id = point_matching_loss(points, ident, src, tgt, k)
+    from deepim_tpu.geometry.se3 import transform_points
+
+    p_s = transform_points(points, src[..., :3], src[..., 3])
+    p_t = transform_points(points, tgt[..., :3], tgt[..., 3])
+    expect = jnp.mean(jnp.abs(p_s - p_t), axis=(-1, -2))
+    np.testing.assert_allclose(loss_id, expect, rtol=1e-5)
+
+
+def test_pm_loss_symmetry_min():
+    """A 180°-off pose has zero PM loss iff the symmetry set contains it."""
+    from deepim_tpu.geometry.se3 import se3_mul
+
+    points = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 3)) * 0.1
+    k = jnp.array([[[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]])
+    tgt = _rand_pose(7)[None]
+    sym = jnp.asarray(sym_set(rot_z_syms(2), 2))[None]  # (1, 2, 3, 4)
+    # src = tgt rotated by the symmetry -> delta=identity reaches tgt∘G only
+    src = se3_mul(tgt, sym[:, 1])
+    ident = DeltaPose(jnp.array([[1.0, 0, 0, 0]]), jnp.zeros((1, 3)))
+    loss_sym = point_matching_loss(points, ident, src, tgt, k, sym_poses=sym)
+    loss_nosym = point_matching_loss(points, ident, src, tgt, k)
+    assert float(loss_sym[0]) < 1e-5
+    assert float(loss_nosym[0]) > 1e-3
+
+
+def test_flow_epe_loss_oracle():
+    b, h, w = 1, 16, 16
+    gt = jnp.ones((b, h, w, 2)) * 2.0
+    valid = jnp.ones((b, h, w), bool)
+    # Perfect prediction at one level -> zero; off-by-one -> EPE sqrt(2)*w_l
+    preds = {2: jnp.ones((b, 4, 4, 2)) * 2.0}
+    np.testing.assert_allclose(flow_epe_loss(preds, gt, valid), 0.0, atol=1e-5)
+    preds = {2: jnp.ones((b, 4, 4, 2)) * 3.0}
+    loss = flow_epe_loss(preds, gt, valid)
+    np.testing.assert_allclose(loss, 0.01 * np.sqrt(2.0), rtol=1e-4)
+
+
+def test_flow_epe_ignores_invalid():
+    b, h, w = 1, 8, 8
+    gt = jnp.zeros((b, h, w, 2))
+    valid = jnp.zeros((b, h, w), bool)
+    preds = {2: jnp.ones((b, 2, 2, 2)) * 5.0}
+    np.testing.assert_allclose(flow_epe_loss(preds, gt, valid), 0.0, atol=1e-6)
+
+
+def test_mask_ce_oracle():
+    logit = jnp.full((1, 4, 4, 1), 10.0)  # confident FG
+    gt_fg = jnp.ones((1, 16, 16))
+    gt_bg = jnp.zeros((1, 16, 16))
+    assert float(mask_ce_loss(logit, gt_fg)[0]) < 1e-3
+    assert float(mask_ce_loss(logit, gt_bg)[0]) > 5.0
+
+
+def test_pm_loss_gradients_flow():
+    """AD gradient of PM loss wrt delta params is nonzero (CustomOp parity:
+    the reference hand-writes this backward)."""
+    points = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 3)) * 0.1
+    k = jnp.array([[[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]])
+    src, tgt = _rand_pose(1)[None], _rand_pose(9)[None]
+
+    def f(qt):
+        q, t = qt[..., :4], qt[..., 4:]
+        return jnp.sum(point_matching_loss(points, DeltaPose(q, t), src, tgt, k))
+
+    g = jax.grad(f)(jnp.array([[1.0, 0, 0, 0, 0, 0, 0]]))
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0

@@ -1,0 +1,129 @@
+"""Refinement-loop tests: assets, class gather, and loop mechanics.
+
+The key contract (reference ``tester.py §pred_eval``): with an oracle delta
+the loop converges to GT in one step; with an untrained (identity-init) net
+poses pass through unchanged; the whole loop jits as one program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepim_tpu.geometry import add_error, calc_delta
+from deepim_tpu.geometry.symmetry import rot_z_syms
+from deepim_tpu.models import DeepIMFlowNet
+from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+from deepim_tpu.refine import build_assets, gather_class, refine_poses
+from deepim_tpu.refine.refiner import refine_step
+
+H, W = 64, 128  # tiny crop for CPU tests
+K_CAM = np.array([[300.0, 0, 320], [0, 300, 240], [0, 0, 1]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return build_assets(
+        [box_mesh((0.08, 0.1, 0.06)), icosphere_mesh(0.05)],
+        sym_transforms=[rot_z_syms(2), None],
+        num_points=128,
+    )
+
+
+def _pose(rx, tz=0.7, tx=0.0):
+    c, s = np.cos(rx), np.sin(rx)
+    r = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    return jnp.asarray(np.concatenate([r, [[tx], [0.0], [tz]]], 1))
+
+
+def test_build_assets_shapes(assets):
+    assert assets.num_classes == 2
+    assert assets.vertices.shape[0] == 2
+    assert assets.faces.shape == (2, assets.faces.shape[1], 3)
+    assert assets.points.shape == (2, 128, 3)
+    assert assets.sym_poses.shape == (2, 2, 3, 4)
+    assert assets.corners.shape == (2, 8, 3)
+    assert float(assets.diameters[0]) > 0.1  # box diagonal
+
+
+def test_gather_class(assets):
+    idx = jnp.array([1, 0, 1])
+    b = gather_class(assets, idx)
+    assert b.vertices.shape[0] == 3
+    np.testing.assert_allclose(b.vertices[0], assets.vertices[1])
+    np.testing.assert_allclose(b.diameters, assets.diameters[idx])
+
+
+def test_identity_net_passthrough(assets):
+    """Zero-init heads -> the K-iteration loop returns the init pose."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    x = jnp.zeros((1, H, W, 6))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    obs = jnp.zeros((2, 96, 160, 3))
+    init = jnp.stack([_pose(0.3), _pose(-0.2, tx=0.05)])
+    k = jnp.tile(jnp.asarray(K_CAM)[None], (2, 1, 1))
+    out = refine_poses(
+        variables, model, assets, obs, init, k, jnp.array([0, 1]),
+        num_iters=3, out_size=(H, W), renderer="xla",
+    )
+    np.testing.assert_allclose(out, init, atol=1e-5)
+
+
+def test_oracle_delta_converges(assets):
+    """Replace the net with the analytic delta -> one step reaches GT.
+
+    Validates the zoom-K delta convention: targets built with the crop
+    intrinsics compose back to the target pose exactly.
+    """
+    from deepim_tpu.geometry.delta_pose import apply_delta
+    from deepim_tpu.ops.zoom import compute_zoom_box, zoom_intrinsics
+
+    init = jnp.stack([_pose(0.4), _pose(0.1, tx=0.03)])
+    tgt = jnp.stack([_pose(0.15, tz=0.65), _pose(0.0, tx=-0.02)])
+    k = jnp.tile(jnp.asarray(K_CAM)[None], (2, 1, 1))
+    b_assets = gather_class(assets, jnp.array([0, 1]))
+
+    box = jax.vmap(
+        lambda p, kk, c: compute_zoom_box(p, kk, c, (H, W))
+    )(init, k, b_assets.corners)
+    kz = zoom_intrinsics(k, box)
+    delta = calc_delta(init, tgt, kz)
+    refined = apply_delta(init, delta, kz)
+    err = add_error(b_assets.points, refined, tgt)
+    assert float(err.max()) < 1e-5
+
+
+def test_refine_step_runs_with_render(assets):
+    """Full refine_step (render + zoom + net) executes and returns aux."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32)
+    x = jnp.zeros((1, H, W, 6))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    obs = jax.random.uniform(jax.random.PRNGKey(2), (2, 96, 160, 3))
+    pose = jnp.stack([_pose(0.3), _pose(-0.1)])
+    k = jnp.tile(jnp.asarray(K_CAM)[None], (2, 1, 1))
+    cls = jnp.array([0, 1])
+    outs = refine_step(
+        variables, model, gather_class(assets, cls), obs, pose, k, cls,
+        (H, W), renderer="xla", keep_aux=True,
+    )
+    assert outs.pose.shape == (2, 3, 4)
+    assert "mask_logit" in outs.aux and "flow" in outs.aux
+    assert np.isfinite(np.asarray(outs.pose)).all()
+
+
+def test_refine_matches_pallas_interpret(assets):
+    """XLA and Pallas-interpret render paths give the same refined pose."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    obs = jax.random.uniform(jax.random.PRNGKey(3), (1, 96, 160, 3))
+    init = _pose(0.25)[None]
+    k = jnp.asarray(K_CAM)[None]
+    cls = jnp.array([0])
+    p_xla = refine_poses(variables, model, assets, obs, init, k, cls,
+                         num_iters=1, out_size=(H, W), renderer="xla")
+    p_pal = refine_poses(variables, model, assets, obs, init, k, cls,
+                         num_iters=1, out_size=(H, W),
+                         renderer="pallas_interpret")
+    np.testing.assert_allclose(p_xla, p_pal, atol=1e-4)
