@@ -1,0 +1,92 @@
+"""Headline benchmark: poses refined per second at K=4 on one TPU chip.
+
+The reference's figure: ~10-12 fps for single-object refinement at K=2-4 on
+a GTX-1080-class GPU with the OpenGL renderer + MXNet (DeepIM paper timing
+remark; see BASELINE.md).  We use 12 poses/s as the baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_POSES_PER_SEC = 12.0
+K_ITERS = 4
+BATCH = 64  # hypotheses refined together (the TPU scaling axis)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from deepim_tpu.geometry.symmetry import rot_z_syms
+    from deepim_tpu.models import DeepIMFlowNet
+    from deepim_tpu.raster.camera import make_intrinsics
+    from deepim_tpu.raster.mesh import (
+        box_mesh, cylinder_mesh, icosphere_mesh, torus_mesh,
+    )
+    from deepim_tpu.data.pairs import perturb_poses, sample_poses_in_frustum
+    from deepim_tpu.refine import build_assets, refine_poses
+
+    platform = jax.devices()[0].platform
+    renderer = "pallas" if platform == "tpu" else "xla"
+
+    meshes = [
+        box_mesh((0.08, 0.1, 0.06)),
+        icosphere_mesh(0.05, subdivisions=3),
+        cylinder_mesh(),
+        torus_mesh(),
+    ]
+    assets = build_assets(
+        meshes, sym_transforms=[rot_z_syms(2), None, None, rot_z_syms(8)],
+        num_points=3000,
+    )
+    model = DeepIMFlowNet(num_classes=assets.num_classes)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 480, 640, 6)))
+
+    k_cam = make_intrinsics(572.4114, 573.5704, 325.2611, 242.049)
+    key = jax.random.PRNGKey(7)
+    kp, kn, kc, ko = jax.random.split(key, 4)
+    pose_gt = sample_poses_in_frustum(kp, BATCH, k_cam, (480, 640))
+    init = perturb_poses(kn, pose_gt)
+    class_idx = jax.random.randint(kc, (BATCH,), 0, assets.num_classes)
+    obs = jax.random.uniform(ko, (BATCH, 480, 640, 3))
+    ks = jnp.tile(k_cam[None], (BATCH, 1, 1))
+
+    def run():
+        out = refine_poses(
+            variables, model, assets, obs, init, ks, class_idx,
+            num_iters=K_ITERS, out_size=(480, 640), renderer=renderer,
+        )
+        out.block_until_ready()
+        return out
+
+    run()  # compile
+    # steady state: median of 5 timed reps
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    poses_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": f"poses_refined_per_sec_K{K_ITERS}_single_chip",
+        "value": round(poses_per_sec, 2),
+        "unit": "poses/s",
+        "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""Testing driver: ``python -m deepim_tpu.cli.test --cfg <yaml>``.
+
+Rebuild of the reference's test entry point (``deepim_test.py`` →
+``deepim/core/tester.py §pred_eval``): loads a checkpoint, runs the
+K-iteration refinement over the test set (synthetic on-device set or an
+on-disk LM6d-layout dataset), and prints the ADD(-S)/(5°,5cm)/Proj-2D
+evaluation table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a deepim_tpu model")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--num-samples", type=int, default=0,
+                   help="synthetic eval set size (0 = 8*batch)")
+    p.add_argument("--no-refine", action="store_true",
+                   help="evaluate the init poses only (baseline row)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepim_tpu.cli.train import load_assets_and_names
+    from deepim_tpu.config import update_config
+    from deepim_tpu.data.pairs import perturb_poses, sample_poses_in_frustum
+    from deepim_tpu.eval import evaluate_poses, format_table
+    from deepim_tpu.raster.camera import make_intrinsics
+    from deepim_tpu.refine import gather_class, refine_poses
+    from deepim_tpu.refine.refiner import render_crops
+    from deepim_tpu.train import init_state, make_model
+    from deepim_tpu.train.checkpoint import latest_step, restore_checkpoint
+
+    cfg = update_config(args.cfg)
+    out_dir = os.path.join(cfg.output_dir, cfg.experiment)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    assets, names, symmetric = load_assets_and_names(cfg)
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    if latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        print(f"loaded checkpoint step {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint found — evaluating an untrained net "
+              "(identity deltas)")
+
+    d = cfg.dataset
+    image_size = (d.image_height, d.image_width)
+    out_size = (cfg.network.input_height, cfg.network.input_width)
+    k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
+    bs = cfg.test.batch_size
+
+    if d.name == "synthetic":
+        n = args.num_samples or 8 * bs
+        n = (n // bs) * bs
+        key = jax.random.PRNGKey(123)
+        kc, kp, kn = jax.random.split(key, 3)
+        class_idx = jax.random.randint(kc, (n,), 0, assets.num_classes)
+        pose_gt = sample_poses_in_frustum(kp, n, k_cam, image_size)
+        init = perturb_poses(kn, pose_gt, cfg.train.rot_noise_deg,
+                             cfg.train.rot_noise_max_deg,
+                             cfg.train.trans_noise, cfg.train.trans_noise_max)
+        ks = jnp.tile(k_cam[None], (n, 1, 1))
+        # observed frames rendered at GT (the synthetic protocol)
+        obs = []
+        for i in range(0, n, bs):
+            ab = gather_class(assets, class_idx[i : i + bs])
+            rgb, _ = render_crops(ab, pose_gt[i : i + bs], ks[i : i + bs],
+                                  image_size, cfg.test.renderer)
+            obs.append(rgb)
+        obs = jnp.concatenate(obs)
+    else:
+        from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
+
+        ds = LM6DDataset(d.root, list(d.objects))
+        records = []
+        for obj in d.objects:
+            records += ds.gt_roidb(obj, "test")
+        n = (len(records) + bs - 1) // bs * bs
+        arrs = make_eval_arrays(ds, records, pad_to=n)
+        obs = jnp.asarray(arrs["obs_rgb"])
+        pose_gt = jnp.asarray(arrs["pose_gt"])
+        init = jnp.asarray(arrs["init_pose"])
+        class_idx = jnp.asarray(arrs["class_idx"])
+        ks = jnp.tile(k_cam[None], (n, 1, 1))
+        if cfg.test.init == "perturb":
+            init = perturb_poses(
+                jax.random.PRNGKey(7), pose_gt, cfg.train.rot_noise_deg,
+                cfg.train.rot_noise_max_deg, cfg.train.trans_noise,
+                cfg.train.trans_noise_max,
+            )
+
+    refined = []
+    t0 = time.time()
+    for i in range(0, n, bs):
+        sl = slice(i, i + bs)
+        if args.no_refine:
+            refined.append(init[sl])
+            continue
+        refined.append(
+            refine_poses(
+                state.params, model, assets, obs[sl], init[sl], ks[sl],
+                class_idx[sl], num_iters=cfg.test.test_iter,
+                out_size=out_size, renderer=cfg.test.renderer,
+            )
+        )
+    refined = jnp.concatenate(refined)
+    refined.block_until_ready()
+    dt = time.time() - t0
+    print(f"refined {n} hypotheses x {cfg.test.test_iter} iters "
+          f"in {dt:.2f}s ({n / dt:.1f} poses/s, incl. compile)")
+
+    results = evaluate_poses(
+        assets, names, symmetric, np.asarray(refined), np.asarray(pose_gt),
+        np.asarray(class_idx), np.asarray(ks),
+    )
+    title = (f"{cfg.experiment} — {'INIT (unrefined)' if args.no_refine else f'{cfg.test.test_iter} refine iters'}")
+    print(format_table(results, title))
+    with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

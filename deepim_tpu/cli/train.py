@@ -1,0 +1,128 @@
+"""Training driver: ``python -m deepim_tpu.cli.train --cfg <yaml>``.
+
+Rebuild of the reference's entry point
+(``experiments/deepim/deepim_train_test.py §train_net``: argparse → YAML
+config → datasets/loaders → MutableModule.fit).  Differences: data
+parallelism comes from the device mesh (``--gpus`` is gone — all local
+devices are used unless ``--n-devices`` caps them), and synthetic configs
+train with the fused on-device generate+train step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a deepim_tpu model")
+    p.add_argument("--cfg", required=True, help="experiment YAML")
+    p.add_argument("--n-devices", type=int, default=0,
+                   help="cap data-parallel devices (0 = all)")
+    p.add_argument("--num-steps", type=int, default=0,
+                   help="override cfg.train.num_steps")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint")
+    return p.parse_args(argv)
+
+
+def load_assets_and_names(cfg):
+    """Meshes per cfg.dataset -> (RenderAssets, class names, symmetric flags)."""
+    from deepim_tpu.geometry.symmetry import LINEMOD_SYMMETRIC
+    from deepim_tpu.raster.mesh import PROCEDURAL_MESHES
+    from deepim_tpu.refine import build_assets
+
+    d = cfg.dataset
+    names = list(d.objects)
+    if d.name == "synthetic":
+        meshes = [PROCEDURAL_MESHES[n]() for n in names]
+    else:
+        from deepim_tpu.data.lm6d import LM6DDataset
+
+        ds = LM6DDataset(d.root, names)
+        meshes = ds.load_meshes(max_faces=d.max_faces)
+    syms = [LINEMOD_SYMMETRIC.get(n) for n in names]
+    assets = build_assets(meshes, sym_transforms=syms,
+                          num_points=d.num_points)
+    return assets, names, [s is not None for s in syms]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepim_tpu.config import save_config, update_config
+    from deepim_tpu.parallel import make_mesh
+    from deepim_tpu.raster.camera import make_intrinsics
+    from deepim_tpu.train import (
+        init_state, make_model, make_synthetic_train_step,
+    )
+    from deepim_tpu.train.checkpoint import (
+        latest_step, restore_checkpoint, save_checkpoint,
+    )
+
+    cfg = update_config(args.cfg)
+    if args.num_steps:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           num_steps=args.num_steps)
+        )
+    out_dir = os.path.join(cfg.output_dir, cfg.experiment)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    print(f"devices: {n_dev} ({jax.devices()[0].platform}); "
+          f"mesh={'1x1' if mesh is None else dict(mesh.shape)}")
+
+    assets, names, _ = load_assets_and_names(cfg)
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(cfg.train.seed))
+    start_step = 0
+    if args.resume and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}")
+
+    d = cfg.dataset
+    k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
+    step_fn = make_synthetic_train_step(model, assets, cfg, k_cam, mesh=mesh)
+
+    key = jax.random.PRNGKey(cfg.train.seed + 1)
+    t_last = time.time()
+    log_path = os.path.join(out_dir, "train_log.jsonl")
+    with open(log_path, "a") as logf:
+        for it in range(start_step, cfg.train.num_steps):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, sub)
+            if (it + 1) % cfg.train.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                sps = cfg.train.log_every / dt
+                t_last = time.time()
+                # Speedometer-style line (reference core/callback.py).
+                print(f"step {it + 1}/{cfg.train.num_steps} "
+                      f"loss={metrics['loss']:.5f} "
+                      f"rot={metrics['rot_err_deg_0']:.2f}deg "
+                      f"trans={metrics['trans_err_0'] * 100:.2f}cm "
+                      f"({sps * cfg.train.batch_size:.1f} samples/s)",
+                      flush=True)
+                logf.write(json.dumps({"step": it + 1, **metrics}) + "\n")
+                logf.flush()
+            if (it + 1) % cfg.train.checkpoint_every == 0 or \
+                    it + 1 == cfg.train.num_steps:
+                save_checkpoint(ckpt_dir, state)
+    print(f"done; checkpoints in {ckpt_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Config system: typed dataclass defaults + YAML experiment overlay.
+
+Rebuild of the reference's config layer (``deepim/config/config.py
+§config §update_config``: an ``easydict`` tree of defaults deep-merged with
+one YAML per experiment from ``experiments/deepim/cfgs/*.yaml``).  Key
+semantics are preserved under pythonic names:
+
+=====================================  =====================================
+reference (mx-DeepIM)                  here
+=====================================  =====================================
+``config.network.ROT_TYPE``            ``cfg.network.rot_type``
+``config.network.PRED_FLOW/MASK``      ``cfg.network.with_flow/with_mask``
+``config.TRAIN.*`` SE(3) noise std     ``cfg.train.rot_noise_deg`` /
+                                       ``cfg.train.trans_noise``
+``config.train_iter`` (iterative)      ``cfg.train.train_iter``
+``config.TEST.test_iter``              ``cfg.test.test_iter``
+loss weights in symbol cfg             ``cfg.train.w_pm/w_flow/w_mask``
+``config.dataset.*``                   ``cfg.dataset.*``
+=====================================  =====================================
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class NetworkConfig:
+    rot_type: str = "quat"  # "quat" | "euler"  (reference ROT_TYPE)
+    with_flow: bool = True  # flow aux head (reference PRED_FLOW)
+    with_mask: bool = True  # mask aux head
+    pose_head: str = "flatten"  # "flatten" (reference) | "gap"
+    fc_dim: int = 1024
+    input_height: int = 480  # network input after dynamic zoom
+    input_width: int = 640
+    dtype: str = "bfloat16"  # compute dtype ("float32" for CPU tests)
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 16  # global (split over the data mesh axis)
+    num_steps: int = 20000
+    optimizer: str = "sgd"  # "sgd" (reference: SGD+momentum) | "adam"
+    lr: float = 1e-4
+    momentum: float = 0.975
+    weight_decay: float = 5e-4
+    warmup_steps: int = 500
+    lr_decay_steps: tuple = (12000, 17000)  # reference lr_step epochs analog
+    lr_decay_factor: float = 0.1
+    grad_clip: float = 10.0
+    # SE(3) perturbation noise for synthetic src poses (reference
+    # TRAIN noise: gaussian per-axis angles + gaussian translation).
+    rot_noise_deg: float = 15.0
+    rot_noise_max_deg: float = 45.0
+    trans_noise: tuple = (0.01, 0.01, 0.05)
+    trans_noise_max: tuple = (0.03, 0.03, 0.15)
+    train_iter: int = 1  # iterative training (reference update_data_batch)
+    w_pm: float = 1.0
+    w_flow: float = 0.1
+    w_mask: float = 0.1
+    renderer: str = "pallas"
+    checkpoint_every: int = 1000
+    log_every: int = 20
+    seed: int = 3
+
+
+@dataclass
+class TestConfig:
+    test_iter: int = 4  # reference cfg.TEST.test_iter
+    batch_size: int = 16
+    renderer: str = "pallas"
+    init: str = "perturb"  # "perturb" (noisy GT) | "posecnn" (external init)
+    init_pose_dir: str = ""  # PoseCNN-style init poses when init="posecnn"
+
+
+@dataclass
+class DatasetConfig:
+    name: str = "synthetic"  # synthetic | lm6d | lm6d_occ | ycb | modelnet
+    root: str = "data"
+    objects: tuple = ("box", "icosphere", "cylinder", "torus")
+    image_height: int = 480
+    image_width: int = 640
+    # Default LINEMOD intrinsics (the reference's LM6d K).
+    fx: float = 572.4114
+    fy: float = 573.5704
+    cx: float = 325.2611
+    cy: float = 242.0490
+    max_faces: int = 4096  # decimation budget per mesh
+    num_points: int = 3000  # PM-loss / metric point samples
+    znear: float = 0.25
+    zfar: float = 6.0
+
+
+@dataclass
+class Config:
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    output_dir: str = "output"
+    experiment: str = "default"
+
+
+def _merge(dc, overrides: dict[str, Any]):
+    """Deep-merge a dict onto a dataclass (reference ``update_config``
+    semantics: unknown keys are errors, nested dicts recurse)."""
+    updates = {}
+    names = {f.name: f for f in dataclasses.fields(dc)}
+    for key, val in overrides.items():
+        if key not in names:
+            raise KeyError(
+                f"unknown config key '{key}' for {type(dc).__name__}"
+            )
+        cur = getattr(dc, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            updates[key] = _merge(cur, val)
+        elif isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+            updates[key] = tuple(val)
+        else:
+            updates[key] = type(cur)(val) if cur is not None else val
+    return dataclasses.replace(dc, **updates)
+
+
+def update_config(yaml_path: str, base: Config | None = None) -> Config:
+    """Load an experiment YAML over the defaults -> Config."""
+    with open(yaml_path) as f:
+        overrides = yaml.safe_load(f) or {}
+    return _merge(base or Config(), overrides)
+
+
+def config_from_dict(overrides: dict[str, Any], base: Config | None = None) -> Config:
+    return _merge(base or Config(), overrides)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

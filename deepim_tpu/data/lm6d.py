@@ -1,0 +1,187 @@
+"""LM6d_converted-style on-disk dataset: reader, writer, and roidb.
+
+Rebuild of the reference's dataset layer (``lib/dataset/LM6d_*.py`` +
+``lib/dataset/imdb.py``), which consumes the ``LM6d_converted`` layout its
+``toolkit/`` prep scripts emit.  Layout implemented here (same shape as the
+reference's, with the pose file made explicit per object):
+
+    {root}/
+      models/{obj}/textured.ply                 # vertex-colored mesh
+      data/observed/{scene}/{frame}-color.png   # uint8 RGB
+      data/observed/{scene}/{frame}-depth.png   # uint16, meters*depth_factor
+      data/observed/{scene}/{frame}-label.png   # uint8 class-id mask (0=bg)
+      data/observed/{scene}/{frame}-pose_{obj}.txt  # 3x4 row-major floats
+      image_set/observed/{obj}_{split}.txt      # lines: {scene}/{frame}
+      init_poses/{obj}_{split}.txt              # optional external init
+                                                # (PoseCNN-style), one 3x4
+                                                # (12 floats) line per frame
+
+The reference keeps a pickled "roidb" cache per imdb; records here are
+plain dicts, cheap enough to rebuild each run.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+DEPTH_FACTOR = 1000.0  # uint16 depth png = meters * 1000 (reference LM6d)
+
+
+@dataclass
+class FrameRecord:
+    """One (frame, object) pose-refinement sample."""
+
+    scene: str
+    frame: str
+    obj: str
+    class_idx: int
+    pose: np.ndarray  # (3, 4) GT
+    init_pose: np.ndarray | None  # (3, 4) external init (PoseCNN-style)
+
+
+class LM6DDataset:
+    """Reader for the layout above (reference ``LM6d_refine``-family imdbs)."""
+
+    def __init__(self, root: str, objects: list[str]):
+        self.root = root
+        self.objects = list(objects)
+        self.class_to_idx = {o: i for i, o in enumerate(self.objects)}
+
+    # -- paths ---------------------------------------------------------------
+
+    def model_path(self, obj: str) -> str:
+        return os.path.join(self.root, "models", obj, "textured.ply")
+
+    def _obs(self, scene: str, frame: str, suffix: str) -> str:
+        return os.path.join(self.root, "data", "observed", scene,
+                            f"{frame}-{suffix}")
+
+    def _imageset_path(self, obj: str, split: str) -> str:
+        return os.path.join(self.root, "image_set", "observed",
+                            f"{obj}_{split}.txt")
+
+    # -- loading ---------------------------------------------------------------
+
+    def load_meshes(self, max_faces: int | None = None):
+        from deepim_tpu.raster.mesh import decimate_mesh, load_ply
+
+        meshes = [load_ply(self.model_path(o)) for o in self.objects]
+        if max_faces:
+            meshes = [decimate_mesh(m, max_faces) for m in meshes]
+        return meshes
+
+    def frame_list(self, obj: str, split: str) -> list[tuple[str, str]]:
+        with open(self._imageset_path(obj, split)) as f:
+            pairs = [ln.strip().split("/") for ln in f if ln.strip()]
+        return [(s, fr) for s, fr in pairs]
+
+    def gt_roidb(self, obj: str, split: str) -> list[FrameRecord]:
+        """Per-frame records incl. optional external init poses."""
+        records = []
+        inits = self._load_init_poses(obj, split)
+        for i, (scene, frame) in enumerate(self.frame_list(obj, split)):
+            pose = np.loadtxt(
+                self._obs(scene, frame, f"pose_{obj}.txt"), dtype=np.float32
+            ).reshape(3, 4)
+            records.append(
+                FrameRecord(
+                    scene=scene, frame=frame, obj=obj,
+                    class_idx=self.class_to_idx[obj], pose=pose,
+                    init_pose=None if inits is None else inits[i],
+                )
+            )
+        return records
+
+    def _load_init_poses(self, obj: str, split: str) -> np.ndarray | None:
+        path = os.path.join(self.root, "init_poses", f"{obj}_{split}.txt")
+        if not os.path.exists(path):
+            return None
+        arr = np.loadtxt(path, dtype=np.float32).reshape(-1, 3, 4)
+        return arr
+
+    def load_frame(self, rec: FrameRecord) -> dict:
+        """RGB [0,1] f32, depth (m) f32, object mask bool."""
+        rgb = np.asarray(
+            Image.open(self._obs(rec.scene, rec.frame, "color.png")),
+            np.float32,
+        ) / 255.0
+        depth = np.asarray(
+            Image.open(self._obs(rec.scene, rec.frame, "depth.png")),
+            np.float32,
+        ) / DEPTH_FACTOR
+        label_path = self._obs(rec.scene, rec.frame, "label.png")
+        if os.path.exists(label_path):
+            label = np.asarray(Image.open(label_path))
+            mask = label == (rec.class_idx + 1)
+        else:
+            mask = depth > 0
+        return {"obs_rgb": rgb, "obs_depth": depth, "obs_mask": mask}
+
+    # -- writing (toolkit/ prep-script parity + test fixtures) -----------------
+
+    def write_model(self, obj: str, mesh) -> None:
+        from deepim_tpu.raster.mesh import save_ply
+
+        os.makedirs(os.path.dirname(self.model_path(obj)), exist_ok=True)
+        save_ply(self.model_path(obj), mesh)
+
+    def write_frame(self, scene: str, frame: str, rgb: np.ndarray,
+                    depth: np.ndarray, label: np.ndarray,
+                    poses: dict[str, np.ndarray]) -> None:
+        d = os.path.join(self.root, "data", "observed", scene)
+        os.makedirs(d, exist_ok=True)
+        Image.fromarray(
+            np.clip(rgb * 255, 0, 255).astype(np.uint8)
+        ).save(self._obs(scene, frame, "color.png"))
+        Image.fromarray(
+            (depth * DEPTH_FACTOR).astype(np.uint16)
+        ).save(self._obs(scene, frame, "depth.png"))
+        Image.fromarray(label.astype(np.uint8)).save(
+            self._obs(scene, frame, "label.png")
+        )
+        for obj, pose in poses.items():
+            np.savetxt(self._obs(scene, frame, f"pose_{obj}.txt"),
+                       np.asarray(pose, np.float32))
+
+    def write_image_set(self, obj: str, split: str,
+                        frames: list[tuple[str, str]]) -> None:
+        path = self._imageset_path(obj, split)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            for scene, frame in frames:
+                f.write(f"{scene}/{frame}\n")
+
+    def write_init_poses(self, obj: str, split: str,
+                         poses: np.ndarray) -> None:
+        d = os.path.join(self.root, "init_poses")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(os.path.join(d, f"{obj}_{split}.txt"),
+                   np.asarray(poses, np.float32).reshape(-1, 12))
+
+
+def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
+                     pad_to: int | None = None) -> dict[str, np.ndarray]:
+    """Stack a record list into dense arrays for batched refinement.
+
+    ``pad_to`` repeats the last record so the batch fills a static shape
+    (padded entries are sliced off the results by the caller).
+    """
+    n = len(records)
+    total = pad_to or n
+    recs = records + [records[-1]] * (total - n)
+    frames = [dataset.load_frame(r) for r in recs]
+    return {
+        "obs_rgb": np.stack([f["obs_rgb"] for f in frames]),
+        "obs_depth": np.stack([f["obs_depth"] for f in frames]),
+        "obs_mask": np.stack([f["obs_mask"] for f in frames]),
+        "pose_gt": np.stack([r.pose for r in recs]),
+        "init_pose": np.stack(
+            [r.init_pose if r.init_pose is not None else r.pose for r in recs]
+        ),
+        "class_idx": np.asarray([r.class_idx for r in recs], np.int32),
+        "num_real": n,
+    }

@@ -1,0 +1,163 @@
+"""Pose evaluation: ADD(-S) @ 0.1d, (5°, 5cm), Proj-2D @ 5px, AUC tables.
+
+Rebuild of the reference's per-dataset ``evaluate_pose`` methods
+(``lib/dataset/LM6d_*.py`` etc.): given refined poses + GT, produce the
+per-class accuracy tables the reference prints at the end of testing
+(the de-facto regression surface — SURVEY.md §4).
+
+Metric kernels run batched on device (one jit over all samples); only the
+table formatting is host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepim_tpu.geometry.pose_errors import (
+    add_auc,
+    add_error,
+    adds_error,
+    proj2d_error,
+    rot_error_deg,
+    trans_error,
+)
+from deepim_tpu.refine.refiner import RenderAssets
+
+
+@dataclass(frozen=True)
+class EvalThresholds:
+    """The standard 6D-pose thresholds used by the reference/paper."""
+
+    add_frac: float = 0.1  # ADD < 0.1 * diameter
+    rot_deg: float = 5.0  # (5°, 5 cm)
+    trans_m: float = 0.05
+    proj_px: float = 5.0  # Proj-2D < 5 px
+    auc_max_m: float = 0.1  # YCB AUC threshold range
+
+
+@partial(jax.jit, static_argnames=())
+def compute_pose_errors(
+    points: jax.Array,  # (B, N, 3) per-sample model points
+    sym_poses: jax.Array,  # (B, S, 3, 4) symmetry sets (identity-padded)
+    pose_est: jax.Array,  # (B, 3, 4)
+    pose_gt: jax.Array,  # (B, 3, 4)
+    k: jax.Array,  # (B, 3, 3)
+) -> dict[str, jax.Array]:
+    """All per-sample error measures in one jitted pass -> dict of (B,).
+
+    ``add_sym`` is min-over-symmetry ADD (the discrete-symmetry analogue
+    the PM loss trains against); ``adds`` is nearest-point ADD-S.
+    """
+    from deepim_tpu.geometry.se3 import se3_mul
+
+    add = add_error(points, pose_est, pose_gt)
+    adds = adds_error(points, pose_est, pose_gt)
+    gt_syms = se3_mul(pose_gt[:, None], sym_poses)  # (B, S, 3, 4)
+    add_sym = jnp.min(
+        jax.vmap(lambda pg: add_error(points, pose_est, pg),
+                 in_axes=1, out_axes=1)(gt_syms),
+        axis=1,
+    )
+    return {
+        "add": add,
+        "adds": adds,
+        "add_sym": add_sym,
+        "rot_deg": rot_error_deg(pose_est, pose_gt),
+        "trans_m": trans_error(pose_est, pose_gt),
+        "proj2d_px": proj2d_error(points, pose_est, pose_gt, k),
+    }
+
+
+def evaluate_poses(
+    assets: RenderAssets,
+    class_names: list[str],
+    symmetric: list[bool],
+    pose_est: np.ndarray,  # (B, 3, 4)
+    pose_gt: np.ndarray,
+    class_idx: np.ndarray,  # (B,)
+    k: np.ndarray,  # (B, 3, 3)
+    thresholds: EvalThresholds = EvalThresholds(),
+) -> dict:
+    """Per-class + mean metric table (reference ``evaluate_pose`` output).
+
+    Symmetric classes are scored with ADD-S (reference protocol); the
+    headline 'ADD(-S)' row mixes the two accordingly.
+    """
+    from deepim_tpu.refine.refiner import gather_class
+
+    cls = jnp.asarray(class_idx)
+    ab = gather_class(assets, cls)
+    errs = compute_pose_errors(
+        ab.points, ab.sym_poses, jnp.asarray(pose_est), jnp.asarray(pose_gt),
+        jnp.asarray(k),
+    )
+    errs = {kk: np.asarray(v) for kk, v in errs.items()}
+    diam = np.asarray(assets.diameters)
+
+    per_class = {}
+    all_rows = []
+    for ci, name in enumerate(class_names):
+        m = np.asarray(class_idx) == ci
+        n = int(m.sum())
+        if n == 0:
+            continue
+        add_like = errs["adds"][m] if symmetric[ci] else errs["add"][m]
+        thresh = thresholds.add_frac * diam[ci]
+        row = {
+            "n": n,
+            "add(-s)_0.1d": float((add_like < thresh).mean() * 100),
+            "add_0.1d": float((errs["add"][m] < thresh).mean() * 100),
+            "adds_0.1d": float((errs["adds"][m] < thresh).mean() * 100),
+            "5deg_5cm": float(
+                ((errs["rot_deg"][m] < thresholds.rot_deg)
+                 & (errs["trans_m"][m] < thresholds.trans_m)).mean() * 100
+            ),
+            "proj2d_5px": float(
+                (errs["proj2d_px"][m] < thresholds.proj_px).mean() * 100
+            ),
+            "auc_add(-s)": float(
+                add_auc(jnp.asarray(add_like), thresholds.auc_max_m) * 100
+            ),
+            "mean_add_m": float(add_like.mean()),
+            "mean_rot_deg": float(errs["rot_deg"][m].mean()),
+            "mean_trans_m": float(errs["trans_m"][m].mean()),
+        }
+        per_class[name] = row
+        all_rows.append(row)
+
+    mean = {
+        kk: float(np.mean([r[kk] for r in all_rows]))
+        for kk in all_rows[0]
+        if kk != "n"
+    } if all_rows else {}
+    return {"per_class": per_class, "mean": mean,
+            "num_samples": int(len(class_idx))}
+
+
+def format_table(results: dict, title: str = "Pose evaluation") -> str:
+    """Plain-text table in the reference's eval-log style."""
+    cols = ["add(-s)_0.1d", "5deg_5cm", "proj2d_5px", "auc_add(-s)",
+            "mean_rot_deg", "mean_trans_m"]
+    lines = [title, "=" * len(title)]
+    header = f"{'class':<16}" + "".join(f"{c:>14}" for c in cols) + f"{'n':>8}"
+    lines.append(header)
+    lines.append("-" * len(header))
+    for name, row in results["per_class"].items():
+        lines.append(
+            f"{name:<16}"
+            + "".join(f"{row[c]:>14.2f}" for c in cols)
+            + f"{row['n']:>8d}"
+        )
+    if results["mean"]:
+        lines.append("-" * len(header))
+        lines.append(
+            f"{'MEAN':<16}"
+            + "".join(f"{results['mean'][c]:>14.2f}" for c in cols)
+            + f"{results['num_samples']:>8d}"
+        )
+    return "\n".join(lines)

@@ -113,6 +113,13 @@ class DeepIMFlowNet(nn.Module):
     with_mask: bool = True
     pose_head: str = "flatten"  # "flatten" (reference) | "gap" (cheap)
     fc_dim: int = 1024
+    # Fixed per-component scale on the translation head so raw outputs are
+    # O(1): (vx, vy) targets are tens of crop pixels, vz is a log-ratio
+    # ~0.1 — without this the optimizer must grow the head weights by 10-
+    # 100x before any signal reaches the features (pure reparameterization;
+    # the reference's heads face the same conditioning problem and lean on
+    # long schedules instead).
+    trans_scale: tuple = (20.0, 20.0, 0.5)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -201,7 +208,9 @@ class DeepIMFlowNet(nn.Module):
         )(h.astype(jnp.float32))
 
         out["rot_raw"] = rot.reshape(-1, self.num_classes, rot_dim)
-        out["trans"] = trans.reshape(-1, self.num_classes, 3)
+        out["trans"] = trans.reshape(-1, self.num_classes, 3) * jnp.asarray(
+            self.trans_scale, jnp.float32
+        )
         return out
 
 

@@ -1,0 +1,12 @@
+"""Mesh/sharding helpers: the XLA-collective replacement for the reference's
+``DataParallelExecutorGroup`` + MXNet kvstore data parallelism."""
+
+from deepim_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

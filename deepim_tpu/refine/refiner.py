@@ -103,19 +103,20 @@ def render_crops(
     out_size: tuple[int, int],
     renderer: str = "pallas",
     max_faces_per_tile: int = 512,
+    lighting: raster_xla.Lighting = raster_xla.FLAT_LIGHTING,
 ) -> tuple[jax.Array, jax.Array]:
     """Rasterize each hypothesis directly at crop resolution -> rgb, depth."""
     if renderer in ("pallas", "pallas_interpret"):
         return raster_pallas.render_batch(
             assets_b.vertices, assets_b.faces, assets_b.colors,
-            assets_b.normals, poses, ks, out_size,
+            assets_b.normals, poses, ks, out_size, lighting=lighting,
             max_faces_per_tile=max_faces_per_tile,
             interpret=renderer == "pallas_interpret",
         )
     if renderer == "xla":
         return jax.vmap(
             lambda v, f, c, n, p, kk: raster_xla.render_mesh(
-                v, f, c, n, p, kk, out_size
+                v, f, c, n, p, kk, out_size, lighting=lighting
             )
         )(assets_b.vertices, assets_b.faces, assets_b.colors,
           assets_b.normals, poses, ks)

@@ -1,0 +1,163 @@
+"""Tests: evaluation tables, LM6d on-disk layout round-trip, toolkit gen,
+and the CLI drivers end-to-end (tiny shapes, CPU mesh).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
+from deepim_tpu.data.toolkit import gen_procedural_dataset
+from deepim_tpu.eval import evaluate_poses, format_table
+from deepim_tpu.geometry.symmetry import rot_z_syms
+from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+from deepim_tpu.refine import build_assets
+
+K_CAM = np.array([[120.0, 0, 64], [0, 120.0, 32], [0, 0, 1]], np.float32)
+H, W = 64, 128
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return build_assets([box_mesh((0.08, 0.1, 0.06)), icosphere_mesh(0.05)],
+                        sym_transforms=[rot_z_syms(2), None], num_points=64)
+
+
+def _pose(rx=0.0, tz=0.7):
+    c, s = np.cos(rx), np.sin(rx)
+    r = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    return np.concatenate([r, [[0.0], [0.0], [tz]]], 1)
+
+
+def test_evaluate_poses_perfect(assets):
+    n = 6
+    gt = np.stack([_pose(0.1 * i) for i in range(n)])
+    cls = np.asarray([0, 1] * 3, np.int32)
+    k = np.tile(K_CAM[None], (n, 1, 1))
+    res = evaluate_poses(assets, ["box", "icosphere"], [True, False],
+                         gt, gt, cls, k)
+    assert res["mean"]["add(-s)_0.1d"] == 100.0
+    assert res["mean"]["5deg_5cm"] == 100.0
+    assert res["mean"]["proj2d_5px"] == 100.0
+    table = format_table(res)
+    assert "box" in table and "MEAN" in table
+
+
+def test_evaluate_poses_symmetric_class(assets):
+    """A 180°-rotated pose scores 100% ADD(-S) for the symmetric class but
+    ~0% plain ADD (the eval protocol distinction)."""
+    from deepim_tpu.geometry.se3 import se3_mul
+
+    gt = np.stack([_pose(0.3)] * 4)
+    sym = np.asarray(rot_z_syms(2))[1]
+    est = np.asarray(se3_mul(jnp.asarray(gt), jnp.tile(sym, (4, 1, 1))))
+    cls = np.zeros(4, np.int32)  # box = symmetric
+    k = np.tile(K_CAM[None], (4, 1, 1))
+    res = evaluate_poses(assets, ["box", "icosphere"], [True, False],
+                         est, gt, cls, k)
+    row = res["per_class"]["box"]
+    assert row["adds_0.1d"] > 90.0  # nearest-point metric forgives symmetry
+    assert row["add_0.1d"] < 50.0  # plain ADD does not
+    assert row["add(-s)_0.1d"] == row["adds_0.1d"]  # symmetric class uses ADD-S
+
+
+def test_evaluate_poses_degrades_with_error(assets):
+    n = 8
+    gt = np.stack([_pose(0.1 * i) for i in range(n)])
+    est = gt.copy()
+    est[:, :, 3] += np.array([0.05, 0.05, 0.1])  # big translation error
+    cls = np.asarray([1] * n, np.int32)
+    k = np.tile(K_CAM[None], (n, 1, 1))
+    res = evaluate_poses(assets, ["box", "icosphere"], [False, False],
+                         est, gt, cls, k)
+    assert res["per_class"]["icosphere"]["add(-s)_0.1d"] < 50.0
+
+
+# --- LM6d layout ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def disk_ds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lm6d"))
+    return gen_procedural_dataset(root, ["box", "icosphere"], K_CAM, (H, W),
+                                  frames_per_obj=6, seed=0)
+
+
+def test_lm6d_roundtrip(disk_ds):
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    meshes = ds.load_meshes()
+    assert meshes[0].num_faces == 12  # box survives PLY round-trip
+    recs = ds.gt_roidb("box", "test")
+    assert len(recs) >= 1
+    frame = ds.load_frame(recs[0])
+    assert frame["obs_rgb"].shape == (H, W, 3)
+    assert frame["obs_rgb"].max() <= 1.0
+    assert frame["obs_depth"].max() > 0.3  # metric depth present
+    assert frame["obs_mask"].sum() > 0
+    # depth quantization from uint16 png is sub-mm
+    assert recs[0].init_pose is not None
+
+
+def test_lm6d_eval_arrays_padding(disk_ds):
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    recs = ds.gt_roidb("box", "test")
+    arrs = make_eval_arrays(ds, recs, pad_to=len(recs) + 3)
+    assert arrs["obs_rgb"].shape[0] == len(recs) + 3
+    assert arrs["num_real"] == len(recs)
+    # pose file round-trip is exact in f32
+    np.testing.assert_allclose(arrs["pose_gt"][0], recs[0].pose, rtol=1e-6)
+
+
+def test_lm6d_depth_consistency(disk_ds):
+    """Written depth pngs decode to the rendered metric depth within 1mm."""
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    rec = ds.gt_roidb("icosphere", "train")[0]
+    frame = ds.load_frame(rec)
+    d = frame["obs_depth"][frame["obs_mask"]]
+    z = rec.pose[2, 3]
+    assert abs(float(np.median(d)) - z) < 0.06  # sphere radius bound
+
+
+# --- CLI end-to-end ----------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_cli_train_and_test(tmp_path, monkeypatch):
+    """Train 6 steps on the synthetic config, checkpoint, then evaluate —
+    the reference's deepim_train_test.py flow at toy scale."""
+    import yaml
+
+    from deepim_tpu.cli import test as cli_test
+    from deepim_tpu.cli import train as cli_train
+
+    cfg = {
+        "experiment": "toy",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "train": {"batch_size": 8, "num_steps": 6, "renderer": "xla",
+                  "optimizer": "adam", "lr": 1e-4, "log_every": 3,
+                  "checkpoint_every": 6, "warmup_steps": 0,
+                  "w_flow": 0.0, "w_mask": 0.0},
+        "test": {"test_iter": 1, "batch_size": 8, "renderer": "xla"},
+    }
+    cfg_path = str(tmp_path / "toy.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    assert cli_train.main(["--cfg", cfg_path, "--n-devices", "1"]) == 0
+    ckpts = os.listdir(os.path.join(str(tmp_path / "out"), "toy",
+                                    "checkpoints"))
+    assert len(ckpts) >= 1
+
+    assert cli_test.main(["--cfg", cfg_path, "--num-samples", "8"]) == 0
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "out"), "toy", "eval_results.json")
+    )

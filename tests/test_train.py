@@ -1,0 +1,222 @@
+"""Training-layer tests: config overlay, pair synthesis, train step
+(single + 8-device sharded), checkpoint round-trip, and a micro-overfit.
+
+Distributed contract (SURVEY.md §4): the sharded step on the 8-device CPU
+mesh must match the unsharded step bit-for-bit-ish (same global batch, f32).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepim_tpu.config import Config, config_from_dict
+from deepim_tpu.data import perturb_poses, sample_poses_in_frustum, synthetic_batch
+from deepim_tpu.parallel import make_mesh, DATA_AXIS
+from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+from deepim_tpu.refine import build_assets
+from deepim_tpu.train import (
+    compute_losses,
+    init_state,
+    make_model,
+    make_synthetic_train_step,
+    make_train_step,
+)
+
+H, W = 64, 128
+K_CAM = jnp.array([[120.0, 0, 64], [0, 120.0, 32], [0, 0, 1]])
+
+
+def tiny_cfg(**train_overrides):
+    return config_from_dict(
+        {
+            "network": {"input_height": H, "input_width": W,
+                        "dtype": "float32", "fc_dim": 64},
+            "dataset": {"image_height": H, "image_width": W,
+                        "objects": ("box", "icosphere")},
+            "train": {"batch_size": 8, "renderer": "xla",
+                      "warmup_steps": 0, "lr": 1e-3,
+                      **train_overrides},
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return build_assets([box_mesh((0.08, 0.1, 0.06)), icosphere_mesh(0.05)],
+                        num_points=64)
+
+
+# --- config ----------------------------------------------------------------
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    from deepim_tpu.config import save_config, update_config
+
+    cfg = tiny_cfg()
+    p = tmp_path / "exp.yaml"
+    save_config(cfg, str(p))
+    cfg2 = update_config(str(p))
+    assert cfg2 == cfg
+
+
+def test_config_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        config_from_dict({"train": {"not_a_key": 1}})
+
+
+def test_config_defaults_match_reference_semantics():
+    cfg = Config()
+    assert cfg.test.test_iter == 4  # reference cfg.TEST.test_iter
+    assert cfg.network.rot_type == "quat"
+    assert cfg.train.optimizer == "sgd"
+
+
+# --- pair sampling ----------------------------------------------------------
+
+
+def test_sample_poses_in_frustum():
+    poses = sample_poses_in_frustum(jax.random.PRNGKey(0), 64, K_CAM, (H, W))
+    assert poses.shape == (64, 3, 4)
+    # all centers project inside the image
+    t = poses[..., 3]
+    u = K_CAM[0, 0] * t[:, 0] / t[:, 2] + K_CAM[0, 2]
+    v = K_CAM[1, 1] * t[:, 1] / t[:, 2] + K_CAM[1, 2]
+    assert (u >= 0).all() and (u <= W).all()
+    assert (v >= 0).all() and (v <= H).all()
+    # rotations are orthonormal
+    r = poses[..., :3]
+    eye = jnp.matmul(r, jnp.swapaxes(r, -1, -2))
+    np.testing.assert_allclose(eye, jnp.tile(jnp.eye(3), (64, 1, 1)), atol=1e-5)
+
+
+def test_perturb_poses_bounded():
+    from deepim_tpu.geometry import rot_error_deg, trans_error
+
+    poses = sample_poses_in_frustum(jax.random.PRNGKey(1), 128, K_CAM, (H, W))
+    noisy = perturb_poses(jax.random.PRNGKey(2), poses, 10.0, 30.0,
+                          (0.01, 0.01, 0.05), (0.02, 0.02, 0.10))
+    rerr = rot_error_deg(noisy, poses)
+    terr = trans_error(noisy, poses)
+    assert float(rerr.max()) <= 3 * 30.0 + 1e-3  # 3 clipped axes compose
+    assert float(rerr.mean()) > 2.0  # actually perturbs
+    assert float(terr.max()) <= np.linalg.norm([0.02, 0.02, 0.10]) + 1e-5
+
+
+def test_synthetic_batch_contents(assets):
+    batch = synthetic_batch(jax.random.PRNGKey(0), assets, 4, K_CAM, (H, W),
+                            renderer="xla")
+    assert batch["obs_rgb"].shape == (4, H, W, 3)
+    assert batch["obs_depth"].shape == (4, H, W)
+    assert batch["class_idx"].shape == (4,)
+    # every sample has some object pixels and a noise background
+    fg = np.asarray(batch["obs_mask"]).reshape(4, -1).mean(-1)
+    assert (fg > 0.001).all() and (fg < 0.9).all()
+
+
+# --- train step --------------------------------------------------------------
+
+
+def test_compute_losses_finite(assets):
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    batch = synthetic_batch(jax.random.PRNGKey(1), assets, 4, K_CAM, (H, W),
+                            renderer="xla")
+    loss, metrics = compute_losses(state.params, model, assets, batch, cfg)
+    assert np.isfinite(float(loss))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert "pm_loss_0" in metrics and "flow_loss_0" in metrics
+
+
+def test_train_step_and_iterative(assets):
+    cfg = tiny_cfg(train_iter=2)
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(model, assets, cfg)
+    batch = synthetic_batch(jax.random.PRNGKey(1), assets, 8, K_CAM, (H, W),
+                            renderer="xla")
+    # the step donates its input state — fingerprint params before calling
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(state.params)]
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    assert "pm_loss_1" in metrics  # second training iteration ran
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    after = [np.asarray(x) for x in jax.tree.leaves(state2.params)]
+    assert sum(float(np.abs(a - b).sum()) for a, b in zip(before, after)) > 0
+
+
+def test_sharded_step_matches_single(assets):
+    """8-way DP on the CPU mesh == single-device step on the same batch."""
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    batch = synthetic_batch(jax.random.PRNGKey(3), assets, 8, K_CAM, (H, W),
+                            renderer="xla")
+
+    step_1 = make_train_step(model, assets, cfg)
+    mesh = make_mesh(n_data=8)
+    step_8 = make_train_step(model, assets, cfg, mesh=mesh)
+
+    s1, m1 = step_1(state, batch)
+    state_r = init_state(cfg, model, jax.random.PRNGKey(0))
+    s8, m8 = step_8(state_r, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    leaves1 = jax.tree.leaves(s1.params)
+    leaves8 = jax.tree.leaves(s8.params)
+    for a, b in zip(leaves1, leaves8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_synthetic_train_step_sharded(assets):
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=8)
+    step = make_synthetic_train_step(model, assets, cfg, K_CAM, mesh=mesh)
+    state, metrics = step(state, jax.random.PRNGKey(7))
+    assert int(state.step) == 1 and np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(assets, tmp_path):
+    from deepim_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(model, assets, cfg)
+    batch = synthetic_batch(jax.random.PRNGKey(1), assets, 8, K_CAM, (H, W),
+                            renderer="xla")
+    state, _ = step(state, batch)
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+    template = init_state(cfg, model, jax.random.PRNGKey(0))
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_micro_overfit(assets):
+    """Loss decreases markedly on a fixed tiny batch (end-to-end gradient
+    sanity — the reference's only 'test' was full training runs)."""
+    cfg = tiny_cfg(w_flow=0.0, w_mask=0.0, lr=3e-4, optimizer="adam",
+                   weight_decay=0.0)
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(model, assets, cfg)
+    batch = synthetic_batch(jax.random.PRNGKey(5), assets, 8, K_CAM, (H, W),
+                            renderer="xla")
+    losses, rot_errs = [], []
+    for _ in range(110):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        rot_errs.append(float(metrics["rot_err_deg_0"]))
+    assert min(losses) < losses[0] * 0.5, losses[::20]
+    assert min(rot_errs) < rot_errs[0] * 0.7, rot_errs[::20]
