@@ -5,7 +5,12 @@ TPU-native equivalents of the reference's MXNet CustomOps
 (``lib/pair_matching/flow.py``) — all pure XLA, zero host round-trips.
 """
 
-from deepim_tpu.ops.resample import bilinear_sample, nearest_sample, affine_grid
+from deepim_tpu.ops.resample import (
+    affine_grid,
+    bilinear_sample,
+    nearest_sample,
+    resample_affine,
+)
 from deepim_tpu.ops.zoom import (
     ZoomBox,
     model_corners,

@@ -62,6 +62,50 @@ def nearest_sample(img: jax.Array, coords: jax.Array,
     return jnp.where(inb[..., None], v, fill_value)
 
 
+def _bilinear_matrix(src: jax.Array, size_in: int) -> jax.Array:
+    """Interp matrix W (out, in): W[i, j] = bilinear weight of input pixel j
+    for output sample at source coordinate ``src[i]`` (pixel centers at
+    integer + 0.5).  Out-of-bounds samples get all-zero rows == fill 0 —
+    exactly the tap/mask semantics of :func:`bilinear_sample`.
+    """
+    centers = jnp.arange(size_in, dtype=jnp.float32) + 0.5
+    d = src[:, None] - centers[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _nearest_matrix(src: jax.Array, size_in: int) -> jax.Array:
+    """One-hot nearest-neighbor matrix (matches :func:`nearest_sample`)."""
+    idx = jnp.round(src - 0.5)
+    j = jnp.arange(size_in, dtype=jnp.float32)
+    return (idx[:, None] == j[None, :]).astype(jnp.float32)
+
+
+def resample_affine(img: jax.Array, out_size: tuple[int, int], x0, y0, sx, sy,
+                    method: str = "bilinear") -> jax.Array:
+    """Axis-aligned affine crop+resize as two separable matmuls.
+
+    TPU-first replacement for gather-based sampling on affine grids: a
+    gather of HxW random-access taps runs element-at-a-time on TPU (~2s for
+    a 64x480x640 batch), while the separable form ``Wy @ img @ Wx^T`` is
+    two band-matrix matmuls on the MXU (~2ms).  Bit-compatible weights with
+    :func:`bilinear_sample`/:func:`nearest_sample` on the same grid
+    (associativity of the two lerps differs in f32 only).
+
+    ``img`` (H, W, C) -> (H_out, W_out, C); sample positions per
+    :func:`affine_grid`: ``x = x0 + (j + 0.5) / sx``.
+    """
+    oh, ow = out_size
+    h, w = img.shape[0], img.shape[1]
+    src_y = y0 + (jnp.arange(oh, dtype=jnp.float32) + 0.5) / sy
+    src_x = x0 + (jnp.arange(ow, dtype=jnp.float32) + 0.5) / sx
+    make = _bilinear_matrix if method == "bilinear" else _nearest_matrix
+    wy = make(src_y, h)  # (oh, h)
+    wx = make(src_x, w)  # (ow, w)
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("oh,hwc->owc", wy, img, precision=hi)
+    return jnp.einsum("pw,owc->opc", wx, tmp, precision=hi)
+
+
 def affine_grid(out_size: tuple[int, int], x0, y0, sx, sy) -> jax.Array:
     """Pixel-center sample coords for an axis-aligned affine crop.
 

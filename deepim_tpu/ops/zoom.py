@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from deepim_tpu.geometry.se3 import transform_points, project_points
-from deepim_tpu.ops.resample import affine_grid, bilinear_sample, nearest_sample
+from deepim_tpu.ops.resample import resample_affine
 from deepim_tpu.raster.camera import crop_intrinsics
 
 
@@ -108,13 +108,19 @@ def zoom_intrinsics(k: jax.Array, box: ZoomBox) -> jax.Array:
 
 def zoom_image(img: jax.Array, box: ZoomBox, out_size: tuple[int, int],
                method: str = "bilinear", fill_value: float = 0.0) -> jax.Array:
-    """Crop+resize one (H, W, C) image into (H_out, W_out, C)."""
-    grid = affine_grid(out_size, box.x0, box.y0, box.sx, box.sy)
-    if method == "bilinear":
-        return bilinear_sample(img, grid, fill_value)
-    if method == "nearest":
-        return nearest_sample(img, grid, fill_value)
-    raise ValueError(method)
+    """Crop+resize one (H, W, C) image into (H_out, W_out, C).
+
+    Separable-matmul resample (MXU path); see
+    :func:`deepim_tpu.ops.resample.resample_affine`.  ``fill_value`` other
+    than 0 is not supported on this path (the zoom always fills with 0,
+    like the reference's border handling).
+    """
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(method)
+    if fill_value != 0.0:
+        raise NotImplementedError("zoom fill_value must be 0")
+    return resample_affine(img, out_size, box.x0, box.y0, box.sx, box.sy,
+                           method=method)
 
 
 def zoom_flow(flow: jax.Array, box: ZoomBox, out_size: tuple[int, int]) -> jax.Array:

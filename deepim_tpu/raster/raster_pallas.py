@@ -4,19 +4,20 @@ TPU-native replacement for the reference's OpenGL rasterization
 (``lib/render_glumpy/render_py.py §Render_Py.render``: GPU fixed-function
 depth-tested triangle raster).  Design (SURVEY.md §7 hard-part 1):
 
-1. **XLA precompute**: vertex transform/projection + Gouraud shading (tiny
-   matmuls), then per-face packed params ``(F, 24)``:
-   ``[x0 y0 x1 y1 x2 y2 | z0 z1 z2 | rgb0 rgb1 rgb2 | pad]``.
-2. **XLA binning**: faces' screen bboxes are tested against the image tile
-   grid (a dense ``(F, TY, TX)`` incidence — cheap because F ≲ 4k and the
-   tile grid is tiny), producing per-tile face-index lists via ``top_k``
-   (capped at ``max_faces_per_tile``; excess faces in one tile are dropped,
-   pick the cap ≥ F to make binning lossless).
-3. **Pallas kernel**: grid ``(B, TY, TX)``; all of a batch element's face
-   params sit in VMEM (≈ F·96 bytes); the kernel walks its tile's face
-   list, evaluates the three edge functions over the (TH, TW) pixel tile on
-   the VPU, and maintains z-buffer + RGB accumulators in VMEM scratch.
-   Per-face work is one-vreg-wide when (TH, TW) = (8, 128).
+1. **XLA precompute** (``pack_tri_params``): corner positions are stored
+   corner-major (``RenderAssets.tri_*``) so packing is pure matmul — TPU
+   gathers run element-at-a-time and must never appear on this path.  Each
+   face is reduced to **plane equations**: three normalized edge functions
+   λ_i(x, y) = A_i x + B_i y + C_i (barycentrics), an inverse-depth plane
+   1/z = az x + bz y + cz, and three color numerator planes c·(1/z) —
+   perspective-correct interpolation with ZERO divisions in the kernel.
+2. **XLA binning** (``bin_faces``): face screen bboxes vs the tile grid, a
+   dense (F, TY, TX) incidence reduced per tile to a capped face-index list
+   via ``top_k``.
+3. **Pallas kernel**: grid ``(B, TY, TX)``; per tile, walk the face list;
+   per face: 4 plane evaluations (FMA) + compares; z-test in 1/z space
+   (larger = closer, background = 0); accumulate inv_z + color numerators;
+   one divide per tile at the end.
 
 Depth output is metric camera z (f32), 0 = background — identical semantics
 to :func:`deepim_tpu.raster.raster_xla.render_mesh`, which is this kernel's
@@ -39,50 +40,136 @@ from deepim_tpu.raster.raster_xla import (
     shade_vertices,
 )
 
-_BIG = 1e9  # plain Python float: jnp scalars would be captured consts in Pallas
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _plane_pack(xy, z, col, face_ok):
+    """Per-corner component vectors -> (params (F, 24), bbox (F, 4), ok).
+
+    ``xy`` = ((x0, y0), (x1, y1), (x2, y2)), ``z`` = (z0, z1, z2),
+    ``col`` = ((r0, g0, b0), ...) — all (F,) vectors.  Structure-of-arrays
+    throughout: every op is on an (F,)-shaped vector, which tiles densely
+    onto (8, 128) vregs (an (F, 3, 3) layout wastes ~98% of each op).
+
+    params layout: [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | az bz cz |
+                    ar br cr | ag bg cg | ab bb cb | 0]
+    λ_i = A_i x + B_i y + C_i are barycentrics (sum 1, ≥0 inside, either
+    winding — the 1/D normalization absorbs orientation).
+    """
+    (x0, y0), (x1, y1), (x2, y2) = xy
+    z0, z1, z2 = z
+    d = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)  # 2*signed area
+    face_ok = face_ok & (jnp.abs(d) > 1e-12)
+    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 0.0)
+
+    a0 = (y1 - y2) * inv_d
+    b0 = (x2 - x1) * inv_d
+    c0 = -a0 * x2 - b0 * y2
+    a1 = (y2 - y0) * inv_d
+    b1 = (x0 - x2) * inv_d
+    c1 = -a1 * x0 - b1 * y0
+    a2 = (y0 - y1) * inv_d
+    b2 = (x1 - x0) * inv_d
+    c2 = -a2 * x1 - b2 * y1
+
+    iz0 = 1.0 / jnp.maximum(z0, 1e-8)
+    iz1 = 1.0 / jnp.maximum(z1, 1e-8)
+    iz2 = 1.0 / jnp.maximum(z2, 1e-8)
+    az = a0 * iz0 + a1 * iz1 + a2 * iz2
+    bz = b0 * iz0 + b1 * iz1 + b2 * iz2
+    cz = c0 * iz0 + c1 * iz1 + c2 * iz2
+
+    # Color numerator planes: (c_i / z_i) interpolates linearly in screen.
+    rows = [a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz]
+    for ch in range(3):
+        v0 = col[0][ch] * iz0
+        v1 = col[1][ch] * iz1
+        v2 = col[2][ch] * iz2
+        rows.append(a0 * v0 + a1 * v1 + a2 * v2)
+        rows.append(b0 * v0 + b1 * v1 + b2 * v2)
+        rows.append(c0 * v0 + c1 * v1 + c2 * v2)
+    zero = jnp.zeros_like(x0)
+    rows += [zero, zero, zero]
+
+    okf = face_ok.astype(x0.dtype)
+    params = jnp.stack([r * okf for r in rows], axis=0).T  # (F, 24)
+    bbox = jnp.stack(
+        [
+            jnp.minimum(jnp.minimum(x0, x1), x2),
+            jnp.maximum(jnp.maximum(x0, x1), x2),
+            jnp.minimum(jnp.minimum(y0, y1), y2),
+            jnp.maximum(jnp.maximum(y0, y1), y2),
+        ],
+        axis=0,
+    ).T  # (F, 4)
+    return params, bbox, face_ok
 
 
 def pack_face_params(vertices, faces, colors, normals, pose, k,
                      lighting: Lighting, z_near: float):
-    """XLA precompute: project + shade, gather to (F, 24) packed params.
-
-    Returns (params (F, 24) f32, face_ok (F,) bool).
-    """
+    """Vertex+faces pack (gather-based; kept for the shared-mesh API —
+    prefer :func:`pack_tri_params` on TPU, gathers are slow there)."""
     screen, z = project_vertices(vertices, pose, k)
     shaded = shade_vertices(colors, normals, pose, lighting)
     txy = screen[faces]  # (F, 3, 2)
     tz = z[faces]  # (F, 3)
     tc = shaded[faces]  # (F, 3, 3)
     face_ok = jnp.all(tz > z_near, axis=-1)
-    # Degenerate (padding) faces have zero area; cheap extra reject here.
-    area = (txy[:, 1, 0] - txy[:, 0, 0]) * (txy[:, 2, 1] - txy[:, 0, 1]) - (
-        txy[:, 1, 1] - txy[:, 0, 1]
-    ) * (txy[:, 2, 0] - txy[:, 0, 0])
-    face_ok &= jnp.abs(area) > 1e-12
-    params = jnp.concatenate(
-        [
-            txy.reshape(-1, 6),
-            tz,
-            tc.reshape(-1, 9),
-            jnp.zeros((faces.shape[0], 6), jnp.float32),
-        ],
-        axis=-1,
+    xy = tuple((txy[:, c, 0], txy[:, c, 1]) for c in range(3))
+    zs = tuple(tz[:, c] for c in range(3))
+    col = tuple(tuple(tc[:, c, ch] for ch in range(3)) for c in range(3))
+    return _plane_pack(xy, zs, col, face_ok)
+
+
+def pack_tri_params(tri_pos, tri_col, tri_nrm, pose, k,
+                    lighting: Lighting, z_near: float):
+    """Corner-major SoA pack: zero gathers, all-(F,) vector math.
+
+    ``tri_pos/tri_col/tri_nrm`` are (9, F) — row 3*corner+coord — built
+    once per asset set (``RenderAssets.tri_*``).
+    """
+    r, t = pose[..., :3], pose[..., 3]
+    l = lighting.direction / jnp.maximum(
+        jnp.linalg.norm(lighting.direction), 1e-8
     )
-    return params, face_ok
+    xy, zs, col = [], [], []
+    ok = None
+    for c in range(3):
+        px, py, pz = tri_pos[3 * c], tri_pos[3 * c + 1], tri_pos[3 * c + 2]
+        cx = r[0, 0] * px + r[0, 1] * py + r[0, 2] * pz + t[0]
+        cy = r[1, 0] * px + r[1, 1] * py + r[1, 2] * pz + t[1]
+        cz = r[2, 0] * px + r[2, 1] * py + r[2, 2] * pz + t[2]
+        z_safe = jnp.where(jnp.abs(cz) < 1e-8, 1e-8, cz)
+        u = k[0, 0] * cx / z_safe + k[0, 2]
+        v = k[1, 1] * cy / z_safe + k[1, 2]
+        xy.append((u, v))
+        zs.append(cz)
+        ok = (cz > z_near) if ok is None else ok & (cz > z_near)
+
+        nx, ny, nz = tri_nrm[3 * c], tri_nrm[3 * c + 1], tri_nrm[3 * c + 2]
+        ncx = r[0, 0] * nx + r[0, 1] * ny + r[0, 2] * nz
+        ncy = r[1, 0] * nx + r[1, 1] * ny + r[1, 2] * nz
+        ncz = r[2, 0] * nx + r[2, 1] * ny + r[2, 2] * nz
+        ndotl = ncx * l[0] + ncy * l[1] + ncz * l[2]
+        # Two-sided shading == shade_vertices: max(n·l, -n·l, 0) = |n·l|.
+        intensity = lighting.ambient + lighting.diffuse * jnp.abs(ndotl)
+        col.append(tuple(
+            jnp.clip(tri_col[3 * c + ch] * intensity, 0.0, 1.0)
+            for ch in range(3)
+        ))
+    return _plane_pack(tuple(xy), tuple(zs), tuple(col), ok)
 
 
-def bin_faces(params, face_ok, image_size, tile, max_faces_per_tile):
+def bin_faces(bbox, face_ok, image_size, tile, max_faces_per_tile):
     """Per-tile face lists: (TY, TX, K) int32 indices + (TY, TX) counts."""
     h, w = image_size
     th, tw = tile
     ty = pl.cdiv(h, th)
     tx = pl.cdiv(w, tw)
-    f = params.shape[0]
+    f = bbox.shape[0]
 
-    xs = params[:, 0:6:2]
-    ys = params[:, 1:6:2]
-    umin, umax = xs.min(-1), xs.max(-1)
-    vmin, vmax = ys.min(-1), ys.max(-1)
+    umin, umax = bbox[:, 0], bbox[:, 1]
+    vmin, vmax = bbox[:, 2], bbox[:, 3]
 
     tile_x0 = jnp.arange(tx, dtype=jnp.float32) * tw  # (TX,)
     tile_y0 = jnp.arange(ty, dtype=jnp.float32) * th  # (TY,)
@@ -132,7 +219,8 @@ def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
         ox + 0.5
     )
 
-    zbuf[:] = jnp.full((th, tw), _BIG)
+    # z-buffer holds INVERSE depth: larger = closer, 0 = background.
+    zbuf[:] = jnp.zeros((th, tw), jnp.float32)
     rbuf[:] = jnp.zeros((th, tw), jnp.float32)
     gbuf[:] = jnp.zeros((th, tw), jnp.float32)
     bbuf[:] = jnp.zeros((th, tw), jnp.float32)
@@ -143,48 +231,24 @@ def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
 
     def body(j, _):
         fi = list_smem[(1 + j) // 128, (1 + j) % 128]
-        x0 = params_ref[0, fi, 0]
-        y0 = params_ref[0, fi, 1]
-        x1 = params_ref[0, fi, 2]
-        y1 = params_ref[0, fi, 3]
-        x2 = params_ref[0, fi, 4]
-        y2 = params_ref[0, fi, 5]
-        z0 = params_ref[0, fi, 6]
-        z1 = params_ref[0, fi, 7]
-        z2 = params_ref[0, fi, 8]
-
-        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        # Normalize winding by sign(area): avoids a bool-vector select
-        # (which Mosaic cannot legalize) and handles both orientations.
-        sgn = jnp.where(area > 0, 1.0, -1.0)
-        w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * sgn
-        w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * sgn
-        w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * sgn
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        inv_area = 1.0 / (area * sgn)  # |area|; != 0 per pack_face_params
-        b0 = w0 * inv_area
-        b1 = w1 * inv_area
-        b2 = w2 * inv_area
-        # Perspective-correct interpolation via 1/z weights.
-        q0 = b0 / z0
-        q1 = b1 / z1
-        q2 = b2 / z2
-        inv_z = q0 + q1 + q2
-        zc = 1.0 / jnp.maximum(inv_z, 1e-9)
-        upd = inside & (inv_z > 1e-9) & (zc < zbuf[:])
-
-        inv_sum = 1.0 / jnp.maximum(inv_z, 1e-9)
-        g0 = q0 * inv_sum
-        g1 = q1 * inv_sum
-        g2 = q2 * inv_sum
-        r = (g0 * params_ref[0, fi, 9] + g1 * params_ref[0, fi, 12]
-             + g2 * params_ref[0, fi, 15])
-        g = (g0 * params_ref[0, fi, 10] + g1 * params_ref[0, fi, 13]
-             + g2 * params_ref[0, fi, 16])
-        b = (g0 * params_ref[0, fi, 11] + g1 * params_ref[0, fi, 14]
-             + g2 * params_ref[0, fi, 17])
-
-        zbuf[:] = jnp.where(upd, zc, zbuf[:])
+        # Barycentric planes: inside iff all three λ ≥ 0 (either winding).
+        l0 = params_ref[0, fi, 0] * px + params_ref[0, fi, 1] * py + \
+            params_ref[0, fi, 2]
+        l1 = params_ref[0, fi, 3] * px + params_ref[0, fi, 4] * py + \
+            params_ref[0, fi, 5]
+        l2 = params_ref[0, fi, 6] * px + params_ref[0, fi, 7] * py + \
+            params_ref[0, fi, 8]
+        invz = params_ref[0, fi, 9] * px + params_ref[0, fi, 10] * py + \
+            params_ref[0, fi, 11]
+        upd = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (invz > zbuf[:])
+        zbuf[:] = jnp.where(upd, invz, zbuf[:])
+        # Color numerator planes (c·invz); divided once per tile below.
+        r = params_ref[0, fi, 12] * px + params_ref[0, fi, 13] * py + \
+            params_ref[0, fi, 14]
+        g = params_ref[0, fi, 15] * px + params_ref[0, fi, 16] * py + \
+            params_ref[0, fi, 17]
+        b = params_ref[0, fi, 18] * px + params_ref[0, fi, 19] * py + \
+            params_ref[0, fi, 20]
         rbuf[:] = jnp.where(upd, r, rbuf[:])
         gbuf[:] = jnp.where(upd, g, gbuf[:])
         bbuf[:] = jnp.where(upd, b, bbuf[:])
@@ -192,11 +256,12 @@ def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
 
     jax.lax.fori_loop(0, count, body, 0)
 
-    hit = zbuf[:] < _BIG
-    depth_ref[0] = jnp.where(hit, zbuf[:], 0.0)
-    rgb_ref[0, 0] = rbuf[:]
-    rgb_ref[0, 1] = gbuf[:]
-    rgb_ref[0, 2] = bbuf[:]
+    hit = zbuf[:] > 0
+    inv = 1.0 / jnp.maximum(zbuf[:], 1e-9)  # one divide per tile
+    depth_ref[0] = jnp.where(hit, inv, 0.0)
+    rgb_ref[0, 0] = rbuf[:] * inv
+    rgb_ref[0, 1] = gbuf[:] * inv
+    rgb_ref[0, 2] = bbuf[:] * inv
 
 
 @functools.partial(
@@ -214,7 +279,7 @@ def render_batch(
     image_size: tuple[int, int],
     lighting: Lighting = FLAT_LIGHTING,
     z_near: float = 0.01,
-    tile: tuple[int, int] = (8, 128),
+    tile: tuple[int, int] = (32, 256),
     max_faces_per_tile: int = 512,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -223,14 +288,6 @@ def render_batch(
     The batch dimension is the hypothesis/object axis (SURVEY.md §2.7: the
     TPU scaling axis replacing the reference's per-GPU context split).
     """
-    b = poses.shape[0]
-    h, w = image_size
-    th, tw = tile
-    ty = pl.cdiv(h, th)
-    tx = pl.cdiv(w, tw)
-    f = faces.shape[-2]
-    max_k = min(max_faces_per_tile, f)
-
     batched_mesh = vertices.ndim == 3
     if batched_mesh and faces.ndim == 3:
         # Per-sample meshes AND face lists (multi-class batches).
@@ -239,25 +296,73 @@ def render_batch(
                 v, ff, c, n, p, kk, lighting, z_near
             )
         )
-        params, face_ok = pack(vertices, faces, colors, normals, poses, ks)
+        params, bbox, face_ok = pack(vertices, faces, colors, normals,
+                                     poses, ks)
     elif batched_mesh:
         pack = jax.vmap(
             lambda v, c, n, p, kk: pack_face_params(
                 v, faces, c, n, p, kk, lighting, z_near
             )
         )
-        params, face_ok = pack(vertices, colors, normals, poses, ks)
+        params, bbox, face_ok = pack(vertices, colors, normals, poses, ks)
     else:
         pack = jax.vmap(
             lambda p, kk: pack_face_params(
                 vertices, faces, colors, normals, p, kk, lighting, z_near
             )
         )
-        params, face_ok = pack(poses, ks)
+        params, bbox, face_ok = pack(poses, ks)
+    return _render_from_params(params, bbox, face_ok, image_size, tile,
+                               max_faces_per_tile, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "tile", "max_faces_per_tile", "z_near",
+                     "interpret"),
+)
+def render_batch_tri(
+    tri_pos: jax.Array,  # (B, 9, F) corner-major SoA object-frame positions
+    tri_col: jax.Array,  # (B, 9, F)
+    tri_nrm: jax.Array,  # (B, 9, F)
+    poses: jax.Array,  # (B, 3, 4)
+    ks: jax.Array,  # (B, 3, 3)
+    image_size: tuple[int, int],
+    lighting: Lighting = FLAT_LIGHTING,
+    z_near: float = 0.01,
+    tile: tuple[int, int] = (32, 256),
+    max_faces_per_tile: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather-free production render path (corner-major mesh data).
+
+    Same outputs as :func:`render_batch`; use this when the mesh is already
+    corner-major (``RenderAssets.tri_*``) — the vertex+faces path spends
+    most of its time in per-face gathers on TPU.
+    """
+    pack = jax.vmap(
+        lambda tp, tc, tn, p, kk: pack_tri_params(
+            tp, tc, tn, p, kk, lighting, z_near
+        )
+    )
+    params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses, ks)
+    return _render_from_params(params, bbox, face_ok, image_size, tile,
+                               max_faces_per_tile, interpret)
+
+
+def _render_from_params(params, bbox, face_ok, image_size, tile,
+                        max_faces_per_tile, interpret):
+    """Shared bin + kernel launch from packed (B, F, 24) face params."""
+    b, f = params.shape[0], params.shape[1]
+    h, w = image_size
+    th, tw = tile
+    ty = pl.cdiv(h, th)
+    tx = pl.cdiv(w, tw)
+    max_k = min(max_faces_per_tile, f)
 
     lists, counts = jax.vmap(
-        lambda pp, ok: bin_faces(pp, ok, image_size, tile, max_k)
-    )(params, face_ok)  # (B, TY, TX, K), (B, TY, TX)
+        lambda bb, ok: bin_faces(bb, ok, image_size, tile, max_k)
+    )(bbox, face_ok)  # (B, TY, TX, K), (B, TY, TX)
     # Fuse count + indices into one HBM-resident int32 table with one
     # (R, 128)-tiled row per (batch, tile): [count_t, idx_0, ..., idx_{K-1},
     # pad].  The kernel DMAs its row into SMEM (aligned full-tile slices).

@@ -46,6 +46,16 @@ class RenderAssets(NamedTuple):
     points: jax.Array  # (C, N, 3) sampled surface points (PM loss/metrics)
     sym_poses: jax.Array  # (C, S, 3, 4) symmetry set (identity-padded)
     diameters: jax.Array  # (C,) model diameters (ADD thresholds)
+    # Corner-major triangle copies in structure-of-arrays layout
+    # (C, 9, F): row 3*corner+coord holds that component for all F faces.
+    # Two TPU constraints drive this: (a) gathers run element-at-a-time, so
+    # the raster path must never do arr[faces] per call — corners are
+    # pre-gathered at build time; (b) per-face math must run on (F,)-shaped
+    # vectors — an (F, 3, 3) layout pads the 3-lanes to 128 and wastes ~98%
+    # of every vector op.
+    tri_pos: jax.Array  # (C, 9, F) object-frame corner positions
+    tri_col: jax.Array  # (C, 9, F) corner colors
+    tri_nrm: jax.Array  # (C, 9, F) corner normals
 
     @property
     def num_classes(self) -> int:
@@ -87,6 +97,15 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
         diameters=jnp.asarray(
             np.asarray([m.diameter for m in meshes], np.float32)
         ),
+        tri_pos=jnp.asarray(np.stack(
+            [p.vertices[p.faces].reshape(-1, 9).T for p in padded]
+        )),
+        tri_col=jnp.asarray(np.stack(
+            [p.colors[p.faces].reshape(-1, 9).T for p in padded]
+        )),
+        tri_nrm=jnp.asarray(np.stack(
+            [p.normals[p.faces].reshape(-1, 9).T for p in padded]
+        )),
     )
 
 
@@ -107,9 +126,9 @@ def render_crops(
 ) -> tuple[jax.Array, jax.Array]:
     """Rasterize each hypothesis directly at crop resolution -> rgb, depth."""
     if renderer in ("pallas", "pallas_interpret"):
-        return raster_pallas.render_batch(
-            assets_b.vertices, assets_b.faces, assets_b.colors,
-            assets_b.normals, poses, ks, out_size, lighting=lighting,
+        return raster_pallas.render_batch_tri(
+            assets_b.tri_pos, assets_b.tri_col, assets_b.tri_nrm,
+            poses, ks, out_size, lighting=lighting,
             max_faces_per_tile=max_faces_per_tile,
             interpret=renderer == "pallas_interpret",
         )
@@ -121,6 +140,52 @@ def render_crops(
         )(assets_b.vertices, assets_b.faces, assets_b.colors,
           assets_b.normals, poses, ks)
     raise ValueError(renderer)
+
+
+def render_scene(
+    assets: RenderAssets,
+    class_idx: jax.Array,  # (B, M) object class per scene slot
+    poses: jax.Array,  # (B, M, 3, 4)
+    valid: jax.Array,  # (B, M) bool — inactive slots render nothing
+    ks: jax.Array,  # (B, 3, 3)
+    out_size: tuple[int, int],
+    lighting=raster_xla.FLAT_LIGHTING,
+    max_faces_per_tile: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Multi-object scene render with cross-object depth test -> rgb, depth.
+
+    TPU-native equivalent of the reference's multi-program renderer
+    (``lib/render_glumpy/render_py_multi.py``): each scene slot's mesh is
+    packed at its own pose, the per-object face-parameter lists are
+    concatenated, and one raster pass z-tests everything — occlusion
+    between objects falls out of the shared z-buffer.
+    """
+    from deepim_tpu.raster.raster_pallas import (
+        _render_from_params, pack_tri_params,
+    )
+
+    b, m = class_idx.shape
+    flat_cls = class_idx.reshape(-1)
+    tri_pos = jnp.take(assets.tri_pos, flat_cls, axis=0)  # (B*M, 9, F)
+    tri_col = jnp.take(assets.tri_col, flat_cls, axis=0)
+    tri_nrm = jnp.take(assets.tri_nrm, flat_cls, axis=0)
+    pack = jax.vmap(
+        lambda tp, tc, tn, p, kk: pack_tri_params(
+            tp, tc, tn, p, kk, lighting, 0.01
+        )
+    )
+    params, bbox, face_ok = pack(
+        tri_pos, tri_col, tri_nrm, poses.reshape(-1, 3, 4),
+        jnp.repeat(ks, m, axis=0),
+    )  # (B*M, F, 24), (B*M, F, 4), (B*M, F)
+    face_ok = face_ok & valid.reshape(-1)[:, None]
+    f = params.shape[1]
+    params = params.reshape(b, m * f, 24)
+    bbox = bbox.reshape(b, m * f, 4)
+    face_ok = face_ok.reshape(b, m * f)
+    return _render_from_params(params, bbox, face_ok, out_size, (32, 256),
+                               max_faces_per_tile, interpret)
 
 
 class RefineStepOutputs(NamedTuple):

@@ -1,0 +1,63 @@
+"""Video pose propagation: refine through a frame sequence (YCB-Video).
+
+The reference evaluates YCB-Video per keyframe with PoseCNN inits; DeepIM's
+video mode instead propagates: frame t's refined pose initializes frame
+t+1 (cheaper + temporally consistent).  On TPU this is a ``lax.scan`` over
+frames with the whole render→zoom→CNN→compose step inside — one compiled
+program for the entire sequence (SURVEY.md §5: the video axis is a scan,
+not sequence-parallelism).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from deepim_tpu.refine.refiner import RenderAssets, gather_class, refine_step
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "iters_first", "iters_rest", "out_size",
+                     "renderer"),
+)
+def refine_video(
+    variables,
+    model,
+    assets: RenderAssets,
+    frames: jax.Array,  # (T, B, H, W, 3) video frames (B objects tracked)
+    init_pose: jax.Array,  # (B, 3, 4) init for frame 0 (PoseCNN-style)
+    k: jax.Array,  # (B, 3, 3)
+    class_idx: jax.Array,  # (B,)
+    iters_first: int = 4,
+    iters_rest: int = 2,
+    out_size: tuple[int, int] = (480, 640),
+    renderer: str = "pallas",
+) -> jax.Array:
+    """Track B objects through T frames -> refined poses (T, B, 3, 4).
+
+    ``iters_first`` refinement iterations on frame 0 (large init error),
+    ``iters_rest`` on subsequent frames (small frame-to-frame motion) —
+    the standard tracking budget split.
+    """
+    assets_b = gather_class(assets, class_idx)
+
+    def refine_n(pose, frame, n):
+        def one(p, _):
+            outs = refine_step(variables, model, assets_b, frame, p, k,
+                               class_idx, out_size, renderer)
+            return outs.pose, None
+
+        pose, _ = jax.lax.scan(one, pose, None, length=n)
+        return pose
+
+    pose0 = refine_n(init_pose, frames[0], iters_first)
+
+    def step(pose, frame):
+        pose = refine_n(pose, frame, iters_rest)
+        return pose, pose
+
+    _, rest = jax.lax.scan(step, pose0, frames[1:])
+    return jnp.concatenate([pose0[None], rest], axis=0)

@@ -188,3 +188,31 @@ def test_flow_occlusion_masking():
     assert int(valid.sum()) == 0
     _, valid2 = calc_flow(depth, p1, p1, K, depth_tgt=depth)
     assert int(valid2.sum()) > 100  # self-visibility survives
+
+
+def test_resample_affine_matches_gather_paths():
+    """The separable-matmul resample == gather-based sampling on the same
+    affine grid (the MXU path must be a pure reparameterization)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepim_tpu.ops import (
+        affine_grid, bilinear_sample, nearest_sample, resample_affine,
+    )
+
+    img = jax.random.uniform(jax.random.PRNGKey(0), (37, 53, 3))
+    out_size = (24, 40)
+    # crop partially outside the source image to exercise fill behavior
+    x0, y0, sx, sy = -5.3, 10.7, 0.9, 1.6
+    grid = affine_grid(out_size, x0, y0, sx, sy)
+
+    got_b = resample_affine(img, out_size, x0, y0, sx, sy, "bilinear")
+    want_b = bilinear_sample(img, grid)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               atol=1e-5)
+
+    got_n = resample_affine(img, out_size, x0, y0, sx, sy, "nearest")
+    want_n = nearest_sample(img, grid)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               atol=1e-6)

@@ -1,0 +1,146 @@
+"""Tests: multi-object scene render, occlusion batches, video propagation,
+MXNet weight-converter round-trip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepim_tpu.data.synthetic import synthetic_occlusion_batch
+from deepim_tpu.models import DeepIMFlowNet
+from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+from deepim_tpu.refine import build_assets, gather_class
+from deepim_tpu.refine.refiner import render_crops, render_scene
+from deepim_tpu.refine.video import refine_video
+
+H, W = 64, 128
+K_CAM = jnp.array([[120.0, 0, 64], [0, 120.0, 32], [0, 0, 1]])
+
+
+@pytest.fixture(scope="module")
+def assets():
+    # Box large enough that a nearer sphere occludes only its center.
+    return build_assets([box_mesh((0.3, 0.3, 0.06)), icosphere_mesh(0.05)],
+                        num_points=64)
+
+
+def _pose(tz=0.7, tx=0.0, ty=0.0):
+    return jnp.asarray(
+        np.concatenate([np.eye(3), [[tx], [ty], [tz]]], 1), jnp.float32
+    )
+
+
+def test_render_scene_occlusion(assets):
+    """Two objects at different depths: the nearer one wins the z-test."""
+    cls = jnp.array([[0, 1]])
+    # sphere centered in front of the box (same line of sight)
+    poses = jnp.stack([_pose(tz=0.9), _pose(tz=0.6)])[None]
+    valid = jnp.ones((1, 2), bool)
+    ks = K_CAM[None]
+    rgb, depth = render_scene(assets, cls, poses, valid, ks, (H, W),
+                              interpret=True)
+    assert rgb.shape == (1, H, W, 3) and depth.shape == (1, H, W)
+    # center pixel shows the sphere depth (~0.55, its near surface)
+    c = depth[0, H // 2, W // 2]
+    assert 0.5 < float(c) < 0.62, float(c)
+    # box is still visible around the sphere (depth ~0.87 ring)
+    ring = np.asarray(depth[0])
+    assert ((ring > 0.8) & (ring < 0.92)).sum() > 20
+
+
+def test_render_scene_valid_mask(assets):
+    """Invalid slots render nothing."""
+    cls = jnp.array([[0, 1]])
+    poses = jnp.stack([_pose(tz=0.9), _pose(tz=0.6)])[None]
+    ks = K_CAM[None]
+    _, d_all = render_scene(assets, cls, poses, jnp.ones((1, 2), bool),
+                            ks, (H, W), interpret=True)
+    _, d_one = render_scene(assets, cls, poses,
+                            jnp.array([[True, False]]), ks, (H, W),
+                            interpret=True)
+    # without the sphere, center shows the box depth
+    assert float(d_one[0, H // 2, W // 2]) > 0.8
+    assert float(d_all[0, H // 2, W // 2]) < 0.65
+
+
+def test_synthetic_occlusion_batch(assets):
+    batch = synthetic_occlusion_batch(
+        jax.random.PRNGKey(0), assets, 4, K_CAM, (H, W),
+        num_distractors=2, renderer="xla",
+    )
+    assert batch["obs_rgb"].shape == (4, H, W, 3)
+    vf = np.asarray(batch["visible_frac"])
+    assert (vf >= 0).all() and (vf <= 1.0 + 1e-6).all()
+    # distractors occlude at least one target partially in expectation
+    assert vf.min() < 0.999
+    # visible mask never exceeds the target's full silhouette
+    ab = gather_class(assets, batch["class_idx"])
+    _, tgt_depth = render_crops(
+        ab, batch["pose_tgt"], batch["k"], (H, W), "xla"
+    )
+    assert not np.any(np.asarray(batch["obs_mask"]) & ~(np.asarray(tgt_depth) > 0))
+
+
+def test_refine_video_shapes(assets):
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    T, B = 3, 2
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (T, B, 96, 160, 3))
+    init = jnp.stack([_pose(0.7), _pose(0.8, tx=0.05)])
+    k = jnp.tile(K_CAM[None], (B, 1, 1))
+    out = refine_video(variables, model, assets, frames, init, k,
+                       jnp.array([0, 1]), iters_first=2, iters_rest=1,
+                       out_size=(H, W), renderer="xla")
+    assert out.shape == (T, B, 3, 4)
+    # identity-init net -> all frames keep the init pose
+    np.testing.assert_allclose(out[0], init, atol=1e-5)
+    np.testing.assert_allclose(out[-1], init, atol=1e-5)
+
+
+def test_mxnet_converter_roundtrip():
+    from deepim_tpu.train.convert_mxnet import (
+        convert_mxnet_dict, export_flax_to_mxnet_npz, load_mxnet_npz,
+    )
+    import tempfile, os
+
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32, fc_dim=32)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 6)))
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ref.npz")
+        export_flax_to_mxnet_npz(params, path)
+        mx = load_mxnet_npz(path)
+        assert "arg:conv1_weight" in mx
+        assert mx["arg:conv1_weight"].shape[0] == 64  # OIHW out-channels
+
+        # fresh init -> overlay -> must equal the original params
+        variables2 = model.init(jax.random.PRNGKey(99),
+                                jnp.zeros((1, H, W, 6)))
+        params2 = jax.tree.map(np.asarray, variables2["params"])
+        converted, missing = convert_mxnet_dict(mx, params2)
+        # mask head layers have no mxnet names mapped -> may be missing
+        for name in ("conv1", "fc1", "fc_rot", "deconv5",
+                     "upsample_flow6to5", "predict_flow2"):
+            assert name not in [m.split()[0] for m in missing]
+        got = converted["conv1"]
+        want = params["conv1"]
+        leaf_g = got[next(iter(got))] if "kernel" not in got else got
+        leaf_w = want[next(iter(want))] if "kernel" not in want else want
+        np.testing.assert_allclose(leaf_g["kernel"], leaf_w["kernel"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            converted["fc_rot"]["kernel"], params["fc_rot"]["kernel"],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            converted["deconv5"][next(iter(converted["deconv5"]))]["kernel"]
+            if "kernel" not in converted["deconv5"] else
+            converted["deconv5"]["kernel"],
+            params["deconv5"][next(iter(params["deconv5"]))]["kernel"]
+            if "kernel" not in params["deconv5"] else
+            params["deconv5"]["kernel"],
+            atol=1e-6,
+        )
