@@ -46,8 +46,11 @@ def main(argv=None):
     out_dir = os.path.join(cfg.output_dir, cfg.experiment)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
-    assets, names, symmetric = load_assets_and_names(cfg)
-    model = make_model(cfg, assets.num_classes)
+    assets, names, symmetric = load_assets_and_names(cfg, eval_set=True)
+    # class-aware heads are sized by the TRAINING class set; with
+    # class_agnostic there is one shared head and eval classes may differ.
+    train_assets_classes = len(cfg.dataset.objects)
+    model = make_model(cfg, train_assets_classes)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
     if latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)
@@ -62,7 +65,7 @@ def main(argv=None):
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
     bs = cfg.test.batch_size
 
-    if d.name == "synthetic":
+    if d.name.startswith("synthetic"):
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
         key = jax.random.PRNGKey(123)
@@ -102,31 +105,40 @@ def main(argv=None):
                 cfg.train.trans_noise_max,
             )
 
-    refined = []
+    trajs = []
     t0 = time.time()
     for i in range(0, n, bs):
         sl = slice(i, i + bs)
         if args.no_refine:
-            refined.append(init[sl])
+            trajs.append(jnp.tile(init[sl][None], (2, 1, 1, 1)))
             continue
-        refined.append(
+        trajs.append(
             refine_poses(
                 state.params, model, assets, obs[sl], init[sl], ks[sl],
                 class_idx[sl], num_iters=cfg.test.test_iter,
                 out_size=out_size, renderer=cfg.test.renderer,
+                return_all=True,
             )
         )
-    refined = jnp.concatenate(refined)
-    refined.block_until_ready()
+    traj = jnp.concatenate(trajs, axis=1)  # (iters+1, n, 3, 4)
+    traj.block_until_ready()
     dt = time.time() - t0
     print(f"refined {n} hypotheses x {cfg.test.test_iter} iters "
           f"in {dt:.2f}s ({n / dt:.1f} poses/s, incl. compile)")
 
-    results = evaluate_poses(
-        assets, names, symmetric, np.asarray(refined), np.asarray(pose_gt),
-        np.asarray(class_idx), np.asarray(ks),
-    )
-    title = (f"{cfg.experiment} — {'INIT (unrefined)' if args.no_refine else f'{cfg.test.test_iter} refine iters'}")
+    # Per-iteration tables (reference pred_eval prints per-iter results).
+    results = None
+    for it in range(traj.shape[0]):
+        results = evaluate_poses(
+            assets, names, symmetric, np.asarray(traj[it]),
+            np.asarray(pose_gt), np.asarray(class_idx), np.asarray(ks),
+        )
+        label = "INIT" if it == 0 else f"iter {it}"
+        print(f"[{label}] ADD(-S)@0.1d={results['mean']['add(-s)_0.1d']:.2f} "
+              f"5d5cm={results['mean']['5deg_5cm']:.2f} "
+              f"proj2d={results['mean']['proj2d_5px']:.2f}")
+    title = (f"{cfg.experiment} — "
+             f"{'INIT (unrefined)' if args.no_refine else f'{cfg.test.test_iter} refine iters'}")
     print(format_table(results, title))
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
         json.dump(results, f, indent=2)

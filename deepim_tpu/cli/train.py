@@ -28,15 +28,20 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_assets_and_names(cfg):
-    """Meshes per cfg.dataset -> (RenderAssets, class names, symmetric flags)."""
+def load_assets_and_names(cfg, eval_set: bool = False):
+    """Meshes per cfg.dataset -> (RenderAssets, class names, symmetric flags).
+
+    ``eval_set`` selects ``cfg.dataset.eval_objects`` when present (the
+    ModelNet unseen-category protocol evaluates meshes not trained on).
+    """
     from deepim_tpu.geometry.symmetry import LINEMOD_SYMMETRIC
     from deepim_tpu.raster.mesh import PROCEDURAL_MESHES
     from deepim_tpu.refine import build_assets
 
     d = cfg.dataset
-    names = list(d.objects)
-    if d.name == "synthetic":
+    names = list(d.eval_objects) if eval_set and d.eval_objects else \
+        list(d.objects)
+    if d.name.startswith("synthetic"):
         meshes = [PROCEDURAL_MESHES[n]() for n in names]
     else:
         from deepim_tpu.data.lm6d import LM6DDataset

@@ -31,6 +31,8 @@ import yaml
 @dataclass
 class NetworkConfig:
     rot_type: str = "quat"  # "quat" | "euler"  (reference ROT_TYPE)
+    class_agnostic: bool = False  # single shared head (ModelNet
+    # unseen-category mode: refine classes never seen in training)
     with_flow: bool = True  # flow aux head (reference PRED_FLOW)
     with_mask: bool = True  # mask aux head
     pose_head: str = "flatten"  # "flatten" (reference) | "gap"
@@ -82,6 +84,10 @@ class DatasetConfig:
     name: str = "synthetic"  # synthetic | lm6d | lm6d_occ | ycb | modelnet
     root: str = "data"
     objects: tuple = ("box", "icosphere", "cylinder", "torus")
+    # Evaluation object set; empty = same as ``objects``.  Distinct sets +
+    # network.class_agnostic reproduce the reference's ModelNet
+    # unseen-category protocol (refine meshes never seen in training).
+    eval_objects: tuple = ()
     image_height: int = 480
     image_width: int = 640
     # Default LINEMOD intrinsics (the reference's LM6d K).

@@ -103,19 +103,30 @@ class LM6DDataset:
         arr = np.loadtxt(path, dtype=np.float32).reshape(-1, 3, 4)
         return arr
 
+    @staticmethod
+    def _read_image(path: str) -> np.ndarray:
+        """PNG -> array via the native decoder (C++ inflate+unfilter), PIL
+        fallback (native/src/deepim_native.cpp §dn_decode_png)."""
+        from deepim_tpu import native
+
+        if native.available():
+            with open(path, "rb") as f:
+                img = native.decode_png(f.read())
+            if img is not None:
+                return img
+        return np.asarray(Image.open(path))
+
     def load_frame(self, rec: FrameRecord) -> dict:
         """RGB [0,1] f32, depth (m) f32, object mask bool."""
-        rgb = np.asarray(
-            Image.open(self._obs(rec.scene, rec.frame, "color.png")),
-            np.float32,
-        ) / 255.0
-        depth = np.asarray(
-            Image.open(self._obs(rec.scene, rec.frame, "depth.png")),
-            np.float32,
-        ) / DEPTH_FACTOR
+        rgb = self._read_image(
+            self._obs(rec.scene, rec.frame, "color.png")
+        ).astype(np.float32) / 255.0
+        depth = self._read_image(
+            self._obs(rec.scene, rec.frame, "depth.png")
+        ).astype(np.float32) / DEPTH_FACTOR
         label_path = self._obs(rec.scene, rec.frame, "label.png")
         if os.path.exists(label_path):
-            label = np.asarray(Image.open(label_path))
+            label = self._read_image(label_path)
             mask = label == (rec.class_idx + 1)
         else:
             mask = depth > 0
@@ -163,6 +174,48 @@ class LM6DDataset:
                    np.asarray(poses, np.float32).reshape(-1, 12))
 
 
+def load_frames_prefetched(dataset: LM6DDataset,
+                           records: list[FrameRecord],
+                           num_threads: int = 4) -> list[dict]:
+    """Load frames with the native threaded prefetcher (IO in C++ worker
+    threads, decode overlapped on the Python side); sequential fallback.
+
+    Replaces the reference's threaded ``mx.io``-backed ``TestDataLoader``
+    IO path (``deepim/core/loader.py``).
+    """
+    from deepim_tpu import native
+
+    if not native.available():
+        return [dataset.load_frame(r) for r in records]
+    paths = []
+    for r in records:
+        paths += [
+            dataset._obs(r.scene, r.frame, "color.png"),
+            dataset._obs(r.scene, r.frame, "depth.png"),
+            dataset._obs(r.scene, r.frame, "label.png"),
+        ]
+    datas: list[bytes | None] = [None] * len(paths)
+    reader = native.PrefetchReader(paths, num_threads=num_threads)
+    for idx, data in reader:
+        datas[idx] = data
+    reader.close()
+
+    frames = []
+    for i, r in enumerate(records):
+        cd, dd, ld = datas[3 * i : 3 * i + 3]
+        if cd is None or dd is None:
+            frames.append(dataset.load_frame(r))  # missing file fallback
+            continue
+        rgb = native.decode_png(cd).astype(np.float32) / 255.0
+        depth = native.decode_png(dd).astype(np.float32) / DEPTH_FACTOR
+        if ld is not None:
+            mask = native.decode_png(ld) == (r.class_idx + 1)
+        else:
+            mask = depth > 0
+        frames.append({"obs_rgb": rgb, "obs_depth": depth, "obs_mask": mask})
+    return frames
+
+
 def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
                      pad_to: int | None = None) -> dict[str, np.ndarray]:
     """Stack a record list into dense arrays for batched refinement.
@@ -173,7 +226,7 @@ def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
     n = len(records)
     total = pad_to or n
     recs = records + [records[-1]] * (total - n)
-    frames = [dataset.load_frame(r) for r in recs]
+    frames = load_frames_prefetched(dataset, recs)
     return {
         "obs_rgb": np.stack([f["obs_rgb"] for f in frames]),
         "obs_depth": np.stack([f["obs_depth"] for f in frames]),

@@ -216,8 +216,13 @@ class DeepIMFlowNet(nn.Module):
 
 def select_class(per_class: jax.Array, class_idx: jax.Array) -> jax.Array:
     """(B, num_classes, D), (B,) int -> (B, D) — the reference's class-aware
-    head selection (heads emit all classes; the sample's class picks one)."""
-    idx = class_idx[:, None, None].astype(jnp.int32)
+    head selection (heads emit all classes; the sample's class picks one).
+
+    A class-agnostic model (num_classes=1, the ModelNet unseen-category
+    mode) shares one head: any class index clamps to 0.
+    """
+    idx = jnp.minimum(class_idx, per_class.shape[1] - 1)
+    idx = idx[:, None, None].astype(jnp.int32)
     return jnp.take_along_axis(per_class, idx, axis=1)[:, 0]
 
 

@@ -216,8 +216,18 @@ def load_ply(path: str) -> Mesh:
     """Minimal PLY reader: xyz (+ rgb/nxnynz if present) + triangle faces.
 
     Covers the LM6d ``models/<obj>/textured.ply``-style vertex-colored
-    meshes.  Quads are triangulated by fanning.
+    meshes.  Quads are triangulated by fanning.  Uses the native C++
+    parser (``native/src/deepim_native.cpp §dn_load_ply``) when available —
+    LINEMOD/YCB scans are 100k+ faces and the Python row loop is slow —
+    with this Python implementation as the fallback and parity oracle.
     """
+    from deepim_tpu import native
+
+    if native.available():
+        out = native.load_ply(path)
+        if out is not None:
+            v, c, f = out
+            return make_mesh(v, f, c)
     with open(path, "rb") as f:
         header = []
         while True:

@@ -232,7 +232,7 @@ def refine_step(
 @partial(
     jax.jit,
     static_argnames=("model", "num_iters", "out_size", "renderer",
-                     "zoom_margin"),
+                     "zoom_margin", "return_all"),
 )
 def refine_poses(
     variables,
@@ -246,12 +246,15 @@ def refine_poses(
     out_size: tuple[int, int] = (480, 640),
     renderer: str = "pallas",
     zoom_margin: float = 1.4,
+    return_all: bool = False,
 ) -> jax.Array:
     """K-iteration refinement (reference ``cfg.TEST.test_iter=4``) -> (B, 3, 4).
 
     One compiled program: ``lax.scan`` over iterations, everything batched
     over the hypothesis axis B.  ``vmap``/sharding over B scales across
-    chips (hypotheses are embarrassingly parallel).
+    chips (hypotheses are embarrassingly parallel).  With ``return_all``,
+    returns every intermediate estimate (num_iters+1, B, 3, 4) — the
+    reference's per-iteration eval tables need them.
     """
     assets_b = gather_class(assets, class_idx)
 
@@ -260,7 +263,9 @@ def refine_poses(
             variables, model, assets_b, obs_rgb, pose, k, class_idx,
             out_size, renderer, zoom_margin,
         )
-        return outs.pose, None
+        return outs.pose, outs.pose if return_all else None
 
-    pose, _ = jax.lax.scan(step, init_pose, None, length=num_iters)
+    pose, traj = jax.lax.scan(step, init_pose, None, length=num_iters)
+    if return_all:
+        return jnp.concatenate([init_pose[None], traj], axis=0)
     return pose

@@ -53,7 +53,7 @@ class TrainState(NamedTuple):
 def make_model(cfg: Config, num_classes: int) -> DeepIMFlowNet:
     n = cfg.network
     return DeepIMFlowNet(
-        num_classes=num_classes,
+        num_classes=1 if n.class_agnostic else num_classes,
         rot_type=n.rot_type,
         with_flow=n.with_flow,
         with_mask=n.with_mask,
@@ -238,12 +238,18 @@ def make_synthetic_train_step(model: DeepIMFlowNet, assets: RenderAssets,
     The flagship training path for synthetic configs — the batch never
     exists on the host.  Under a mesh, each shard synthesizes its own
     slice of the global batch (keys folded per data-shard index).
+
+    ``cfg.dataset.name == "synthetic_occlusion"`` switches the generator to
+    multi-object occlusion scenes (Occluded-LINEMOD protocol).
     """
-    from deepim_tpu.data.synthetic import synthetic_batch
+    from deepim_tpu.data.synthetic import (
+        synthetic_batch, synthetic_occlusion_batch,
+    )
 
     tx = make_optimizer(cfg)
     t = cfg.train
     image_size = (cfg.dataset.image_height, cfg.dataset.image_width)
+    occlusion = cfg.dataset.name == "synthetic_occlusion"
     n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
     local_bs = t.batch_size // n_shards
     assert local_bs * n_shards == t.batch_size, "batch must divide the mesh"
@@ -251,12 +257,14 @@ def make_synthetic_train_step(model: DeepIMFlowNet, assets: RenderAssets,
     def step(state: TrainState, key):
         if mesh is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        batch = synthetic_batch(
+        gen = synthetic_occlusion_batch if occlusion else synthetic_batch
+        batch = gen(
             key, assets, local_bs, k_cam, image_size,
             rot_noise_deg=t.rot_noise_deg, rot_max_deg=t.rot_noise_max_deg,
             trans_noise=t.trans_noise, trans_max=t.trans_noise_max,
             renderer=t.renderer,
         )
+        batch.pop("visible_frac", None)
 
         def loss_fn(params):
             return compute_losses(params, model, assets, batch, cfg)

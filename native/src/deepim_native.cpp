@@ -1,0 +1,579 @@
+// deepim_native: native data/mesh runtime for deepim_tpu.
+//
+// TPU-native equivalent of the native layers the mx-DeepIM reference leans
+// on outside the compute graph: its MXNet C++ engine's threaded IO/data
+// pipeline (mx.io iterators feeding deepim/core/loader.py) and the mesh
+// handling under lib/render_glumpy (PLY -> GL buffers).  Here: a C library
+// (ctypes-consumed) providing
+//   - PLY mesh parsing (ascii + binary_little_endian),
+//   - vertex normals, area-weighted surface sampling, grid decimation,
+//   - PNG decode (zlib inflate + unfilter; 8-bit gray/RGB/RGBA, 16-bit gray
+//     — the LM6d color/depth/label formats),
+//   - a threaded file prefetcher with a bounded ring buffer.
+//
+// Everything returns malloc'd buffers the caller frees via dn_free.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+void dn_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// PLY loading
+// ---------------------------------------------------------------------------
+
+struct PlyProp {
+  std::string type;       // scalar type, or list count type
+  std::string list_type;  // list element type ("" if scalar)
+  std::string name;
+};
+
+static int type_size(const std::string& t) {
+  if (t == "float" || t == "float32" || t == "int" || t == "int32" ||
+      t == "uint" || t == "uint32")
+    return 4;
+  if (t == "double" || t == "float64") return 8;
+  if (t == "uchar" || t == "uint8" || t == "char" || t == "int8") return 1;
+  if (t == "ushort" || t == "uint16" || t == "short" || t == "int16") return 2;
+  return -1;
+}
+
+static double read_scalar(const uint8_t* p, const std::string& t) {
+  if (t == "float" || t == "float32") { float v; memcpy(&v, p, 4); return v; }
+  if (t == "double" || t == "float64") { double v; memcpy(&v, p, 8); return v; }
+  if (t == "uchar" || t == "uint8") return *p;
+  if (t == "char" || t == "int8") return *(const int8_t*)p;
+  if (t == "ushort" || t == "uint16") { uint16_t v; memcpy(&v, p, 2); return v; }
+  if (t == "short" || t == "int16") { int16_t v; memcpy(&v, p, 2); return v; }
+  if (t == "uint" || t == "uint32") { uint32_t v; memcpy(&v, p, 4); return v; }
+  if (t == "int" || t == "int32") { int32_t v; memcpy(&v, p, 4); return v; }
+  return 0.0;
+}
+
+// Loads a PLY mesh. Returns 0 on success.  Outputs (caller dn_free's):
+//   vertices: (num_vertices*3) float32; colors: same (0.7 default);
+//   faces: (num_faces*3) int32 (polygons fan-triangulated).
+int dn_load_ply(const char* path, float** vertices, float** colors,
+                int32_t** faces, int64_t* num_vertices, int64_t* num_faces) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  // Read whole file.
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(size);
+  if (fread(buf.data(), 1, size, f) != (size_t)size) { fclose(f); return -2; }
+  fclose(f);
+
+  // Parse header (ascii lines until end_header).
+  size_t pos = 0;
+  auto next_line = [&](std::string& line) -> bool {
+    if (pos >= buf.size()) return false;
+    size_t start = pos;
+    while (pos < buf.size() && buf[pos] != '\n') pos++;
+    line.assign((const char*)&buf[start], pos - start);
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    pos++;  // skip newline
+    return true;
+  };
+  std::string line;
+  if (!next_line(line) || line != "ply") return -3;
+  std::string fmt;
+  struct Element { std::string name; long count; std::vector<PlyProp> props; };
+  std::vector<Element> elements;
+  while (next_line(line)) {
+    if (line == "end_header") break;
+    char a[64], b[64], c[64], d[64], e[64];
+    if (sscanf(line.c_str(), "format %63s", a) == 1) {
+      fmt = a;
+    } else if (sscanf(line.c_str(), "element %63s %63s", a, b) == 2) {
+      elements.push_back({a, atol(b), {}});
+    } else if (sscanf(line.c_str(), "property list %63s %63s %63s", a, b, c) == 3) {
+      elements.back().props.push_back({a, b, c});
+    } else if (sscanf(line.c_str(), "property %63s %63s", d, e) == 2) {
+      elements.back().props.push_back({d, "", e});
+    }
+  }
+
+  std::vector<float> verts, cols;
+  std::vector<int32_t> tris;
+  bool has_color = false;
+
+  for (auto& el : elements) {
+    bool is_vertex = el.name == "vertex";
+    bool is_face = el.name == "face";
+    int xi = -1, yi = -1, zi = -1, ri = -1, gi = -1, bi = -1;
+    for (size_t i = 0; i < el.props.size(); i++) {
+      const auto& n = el.props[i].name;
+      if (n == "x") xi = i;
+      if (n == "y") yi = i;
+      if (n == "z") zi = i;
+      if (n == "red") ri = i;
+      if (n == "green") gi = i;
+      if (n == "blue") bi = i;
+    }
+    if (is_vertex) {
+      verts.reserve(el.count * 3);
+      cols.reserve(el.count * 3);
+      has_color = ri >= 0;
+    }
+
+    if (fmt == "ascii") {
+      for (long r = 0; r < el.count; r++) {
+        if (!next_line(line)) return -4;
+        // tokenize
+        std::vector<double> vals;
+        std::vector<long> list_vals;
+        const char* s = line.c_str();
+        char* end;
+        if (is_face) {
+          long n = strtol(s, &end, 10);
+          s = end;
+          for (long k = 0; k < n; k++) list_vals.push_back(strtol(s, &end, 10)), s = end;
+        } else {
+          for (size_t pi = 0; pi < el.props.size(); pi++) {
+            vals.push_back(strtod(s, &end));
+            s = end;
+          }
+        }
+        if (is_vertex) {
+          verts.push_back((float)vals[xi]);
+          verts.push_back((float)vals[yi]);
+          verts.push_back((float)vals[zi]);
+          if (has_color) {
+            cols.push_back((float)(vals[ri] / 255.0));
+            cols.push_back((float)(vals[gi] / 255.0));
+            cols.push_back((float)(vals[bi] / 255.0));
+          }
+        } else if (is_face) {
+          for (size_t k = 1; k + 1 < list_vals.size(); k++) {
+            tris.push_back((int32_t)list_vals[0]);
+            tris.push_back((int32_t)list_vals[k]);
+            tris.push_back((int32_t)list_vals[k + 1]);
+          }
+        }
+      }
+    } else if (fmt == "binary_little_endian") {
+      for (long r = 0; r < el.count; r++) {
+        std::vector<double> vals(el.props.size());
+        std::vector<long> list_vals;
+        for (size_t pi = 0; pi < el.props.size(); pi++) {
+          const auto& p = el.props[pi];
+          if (!p.list_type.empty()) {
+            int cs = type_size(p.type);
+            long n = (long)read_scalar(&buf[pos], p.type);
+            pos += cs;
+            int es = type_size(p.list_type);
+            for (long k = 0; k < n; k++) {
+              list_vals.push_back((long)read_scalar(&buf[pos], p.list_type));
+              pos += es;
+            }
+          } else {
+            int cs = type_size(p.type);
+            vals[pi] = read_scalar(&buf[pos], p.type);
+            pos += cs;
+          }
+        }
+        if (is_vertex) {
+          verts.push_back((float)vals[xi]);
+          verts.push_back((float)vals[yi]);
+          verts.push_back((float)vals[zi]);
+          if (has_color) {
+            cols.push_back((float)(vals[ri] / 255.0));
+            cols.push_back((float)(vals[gi] / 255.0));
+            cols.push_back((float)(vals[bi] / 255.0));
+          }
+        } else if (is_face) {
+          for (size_t k = 1; k + 1 < list_vals.size(); k++) {
+            tris.push_back((int32_t)list_vals[0]);
+            tris.push_back((int32_t)list_vals[k]);
+            tris.push_back((int32_t)list_vals[k + 1]);
+          }
+        }
+      }
+    } else {
+      return -5;  // big-endian unsupported (not used by LM6d/YCB assets)
+    }
+  }
+
+  int64_t nv = verts.size() / 3;
+  int64_t nf = tris.size() / 3;
+  if (!has_color) {
+    cols.assign(nv * 3, 0.7f);
+  }
+  *vertices = (float*)malloc(nv * 3 * sizeof(float));
+  *colors = (float*)malloc(nv * 3 * sizeof(float));
+  *faces = (int32_t*)malloc(nf * 3 * sizeof(int32_t));
+  memcpy(*vertices, verts.data(), nv * 3 * sizeof(float));
+  memcpy(*colors, cols.data(), nv * 3 * sizeof(float));
+  memcpy(*faces, tris.data(), nf * 3 * sizeof(int32_t));
+  *num_vertices = nv;
+  *num_faces = nf;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Mesh ops: normals, sampling, decimation
+// ---------------------------------------------------------------------------
+
+void dn_vertex_normals(const float* vertices, int64_t nv, const int32_t* faces,
+                       int64_t nf, float* out_normals) {
+  memset(out_normals, 0, nv * 3 * sizeof(float));
+  for (int64_t i = 0; i < nf; i++) {
+    const int32_t* fc = &faces[i * 3];
+    const float* v0 = &vertices[fc[0] * 3];
+    const float* v1 = &vertices[fc[1] * 3];
+    const float* v2 = &vertices[fc[2] * 3];
+    float e1[3] = {v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2]};
+    float e2[3] = {v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2]};
+    float n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                  e1[2] * e2[0] - e1[0] * e2[2],
+                  e1[0] * e2[1] - e1[1] * e2[0]};  // area-weighted
+    for (int k = 0; k < 3; k++)
+      for (int d = 0; d < 3; d++) out_normals[fc[k] * 3 + d] += n[d];
+  }
+  for (int64_t i = 0; i < nv; i++) {
+    float* n = &out_normals[i * 3];
+    float len = sqrtf(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    if (len > 1e-12f) { n[0] /= len; n[1] /= len; n[2] /= len; }
+  }
+}
+
+// xorshift RNG (deterministic across platforms)
+static inline uint64_t xorshift64(uint64_t* s) {
+  uint64_t x = *s;
+  x ^= x << 13; x ^= x >> 7; x ^= x << 17;
+  return *s = x;
+}
+static inline double rng01(uint64_t* s) {
+  return (double)(xorshift64(s) >> 11) * (1.0 / 9007199254740992.0);
+}
+
+void dn_sample_points(const float* vertices, int64_t nv, const int32_t* faces,
+                      int64_t nf, int64_t n, uint64_t seed, float* out) {
+  (void)nv;
+  std::vector<double> cdf(nf);
+  double total = 0.0;
+  for (int64_t i = 0; i < nf; i++) {
+    const int32_t* fc = &faces[i * 3];
+    const float* v0 = &vertices[fc[0] * 3];
+    const float* v1 = &vertices[fc[1] * 3];
+    const float* v2 = &vertices[fc[2] * 3];
+    float e1[3] = {v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2]};
+    float e2[3] = {v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2]};
+    float cx = e1[1] * e2[2] - e1[2] * e2[1];
+    float cy = e1[2] * e2[0] - e1[0] * e2[2];
+    float cz = e1[0] * e2[1] - e1[1] * e2[0];
+    total += 0.5 * sqrt((double)cx * cx + (double)cy * cy + (double)cz * cz);
+    cdf[i] = total;
+  }
+  uint64_t s = seed ? seed : 0x9E3779B97F4A7C15ull;
+  for (int64_t i = 0; i < n; i++) {
+    double u = rng01(&s) * total;
+    int64_t lo = 0, hi = nf - 1;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (cdf[mid] < u) lo = mid + 1; else hi = mid;
+    }
+    const int32_t* fc = &faces[lo * 3];
+    const float* v0 = &vertices[fc[0] * 3];
+    const float* v1 = &vertices[fc[1] * 3];
+    const float* v2 = &vertices[fc[2] * 3];
+    double r1 = rng01(&s), r2 = rng01(&s);
+    double sq = sqrt(r1);
+    double w0 = 1.0 - sq, w1 = sq * (1.0 - r2), w2 = sq * r2;
+    for (int d = 0; d < 3; d++)
+      out[i * 3 + d] = (float)(w0 * v0[d] + w1 * v1[d] + w2 * v2[d]);
+  }
+}
+
+// Vertex-clustering decimation onto a uniform grid (binary-searched
+// resolution so the result has <= max_faces faces).  Outputs malloc'd
+// arrays; returns 0 on success.
+int dn_decimate(const float* vertices, const float* colors, int64_t nv,
+                const int32_t* faces, int64_t nf, int64_t max_faces,
+                float** out_v, float** out_c, int32_t** out_f,
+                int64_t* out_nv, int64_t* out_nf) {
+  if (nf <= max_faces) return 1;  // caller keeps original
+  float vmin[3] = {1e30f, 1e30f, 1e30f}, vmax[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < nv; i++)
+    for (int d = 0; d < 3; d++) {
+      vmin[d] = vertices[i * 3 + d] < vmin[d] ? vertices[i * 3 + d] : vmin[d];
+      vmax[d] = vertices[i * 3 + d] > vmax[d] ? vertices[i * 3 + d] : vmax[d];
+    }
+  float extent = 1e-9f;
+  for (int d = 0; d < 3; d++)
+    extent = vmax[d] - vmin[d] > extent ? vmax[d] - vmin[d] : extent;
+
+  std::vector<float> best_v, best_c;
+  std::vector<int32_t> best_f;
+  int lo = 4, hi = 512;
+  while (lo <= hi) {
+    int res = (lo + hi) / 2;
+    std::unordered_map<int64_t, int32_t> cell_id;
+    std::vector<int32_t> remap(nv);
+    std::vector<double> acc_v, acc_c;
+    std::vector<int32_t> cnt;
+    for (int64_t i = 0; i < nv; i++) {
+      int64_t key = 0;
+      for (int d = 0; d < 3; d++) {
+        int64_t c = (int64_t)((vertices[i * 3 + d] - vmin[d]) / extent *
+                              (res - 1e-4));
+        key = key * res + c;
+      }
+      auto it = cell_id.find(key);
+      int32_t id;
+      if (it == cell_id.end()) {
+        id = (int32_t)cnt.size();
+        cell_id.emplace(key, id);
+        acc_v.resize(acc_v.size() + 3, 0.0);
+        acc_c.resize(acc_c.size() + 3, 0.0);
+        cnt.push_back(0);
+      } else {
+        id = it->second;
+      }
+      remap[i] = id;
+      cnt[id]++;
+      for (int d = 0; d < 3; d++) {
+        acc_v[id * 3 + d] += vertices[i * 3 + d];
+        acc_c[id * 3 + d] += colors[i * 3 + d];
+      }
+    }
+    // faces: drop degenerate, dedupe by sorted key
+    std::unordered_map<int64_t, char> seen;
+    std::vector<int32_t> nfaces;
+    int64_t ncell = (int64_t)cnt.size();
+    for (int64_t i = 0; i < nf; i++) {
+      int32_t a = remap[faces[i * 3]], b = remap[faces[i * 3 + 1]],
+              c = remap[faces[i * 3 + 2]];
+      if (a == b || b == c || a == c) continue;
+      int32_t s0 = a, s1 = b, s2 = c, t;
+      if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+      if (s1 > s2) { t = s1; s1 = s2; s2 = t; }
+      if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+      int64_t key = ((int64_t)s0 * ncell + s1) * ncell + s2;
+      if (seen.count(key)) continue;
+      seen.emplace(key, 1);
+      nfaces.push_back(a); nfaces.push_back(b); nfaces.push_back(c);
+    }
+    if ((int64_t)nfaces.size() / 3 <= max_faces) {
+      best_v.resize(ncell * 3);
+      best_c.resize(ncell * 3);
+      for (int64_t i = 0; i < ncell; i++)
+        for (int d = 0; d < 3; d++) {
+          best_v[i * 3 + d] = (float)(acc_v[i * 3 + d] / cnt[i]);
+          best_c[i * 3 + d] = (float)(acc_c[i * 3 + d] / cnt[i]);
+        }
+      best_f = nfaces;
+      lo = res + 1;  // try finer
+    } else {
+      hi = res - 1;
+    }
+  }
+  if (best_f.empty()) return -1;
+  *out_nv = best_v.size() / 3;
+  *out_nf = best_f.size() / 3;
+  *out_v = (float*)malloc(best_v.size() * sizeof(float));
+  *out_c = (float*)malloc(best_c.size() * sizeof(float));
+  *out_f = (int32_t*)malloc(best_f.size() * sizeof(int32_t));
+  memcpy(*out_v, best_v.data(), best_v.size() * sizeof(float));
+  memcpy(*out_c, best_c.data(), best_c.size() * sizeof(float));
+  memcpy(*out_f, best_f.data(), best_f.size() * sizeof(int32_t));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decode (LM6d color/depth/label files): zlib inflate + unfilter.
+// Supports 8-bit gray/RGB/RGBA and 16-bit gray, non-interlaced.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t be32(const uint8_t* p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | p[3];
+}
+
+// Returns 0 on success; out buffer is malloc'd row-major
+// (h, w, channels) with native-endian uint8/uint16 samples.
+int dn_decode_png(const uint8_t* data, int64_t len, uint8_t** out,
+                  int32_t* width, int32_t* height, int32_t* channels,
+                  int32_t* bitdepth) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (len < 8 || memcmp(data, sig, 8) != 0) return -1;
+  int64_t pos = 8;
+  uint32_t w = 0, h = 0;
+  int depth = 0, ctype = -1;
+  std::vector<uint8_t> idat;
+  while (pos + 8 <= len) {
+    uint32_t clen = be32(&data[pos]);
+    const char* tag = (const char*)&data[pos + 4];
+    const uint8_t* body = &data[pos + 8];
+    if (memcmp(tag, "IHDR", 4) == 0) {
+      w = be32(body);
+      h = be32(body + 4);
+      depth = body[8];
+      ctype = body[9];
+      if (body[10] != 0 || body[11] != 0 || body[12] != 0) return -2;
+    } else if (memcmp(tag, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), body, body + clen);
+    } else if (memcmp(tag, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + clen;  // len + tag + crc
+  }
+  int ch = ctype == 0 ? 1 : ctype == 2 ? 3 : ctype == 4 ? 2 : ctype == 6 ? 4 : -1;
+  if (ch < 0 || (depth != 8 && depth != 16)) return -3;
+  if (depth == 16 && ctype != 0) return -3;  // 16-bit only for gray (depth pngs)
+
+  int bpp = ch * depth / 8;           // bytes per pixel
+  size_t stride = (size_t)w * bpp;    // bytes per scanline (post-filter)
+  std::vector<uint8_t> raw((stride + 1) * h);
+  uLongf raw_len = raw.size();
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+      raw_len != raw.size())
+    return -4;
+
+  uint8_t* img = (uint8_t*)malloc(stride * h);
+  for (uint32_t y = 0; y < h; y++) {
+    int filter = raw[y * (stride + 1)];
+    const uint8_t* src = &raw[y * (stride + 1) + 1];
+    uint8_t* dst = &img[y * stride];
+    const uint8_t* up = y ? &img[(y - 1) * stride] : nullptr;
+    for (size_t x = 0; x < stride; x++) {
+      int a = x >= (size_t)bpp ? dst[x - bpp] : 0;
+      int b = up ? up[x] : 0;
+      int c = (up && x >= (size_t)bpp) ? up[x - bpp] : 0;
+      int v = src[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: {
+          int p = a + b - c;
+          int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+          v += (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          break;
+        }
+        default: free(img); return -5;
+      }
+      dst[x] = (uint8_t)v;
+    }
+  }
+  if (depth == 16) {
+    // big-endian -> host-endian uint16
+    for (size_t i = 0; i + 1 < stride * h; i += 2) {
+      uint8_t hi_b = img[i], lo_b = img[i + 1];
+      uint16_t v = (uint16_t)((hi_b << 8) | lo_b);
+      memcpy(&img[i], &v, 2);
+    }
+  }
+  *out = img;
+  *width = (int32_t)w;
+  *height = (int32_t)h;
+  *channels = ch;
+  *bitdepth = depth;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded file prefetcher (bounded ring buffer, in-order delivery)
+// ---------------------------------------------------------------------------
+
+struct Prefetcher {
+  std::vector<std::string> paths;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_produced, cv_space;
+  std::unordered_map<int64_t, std::pair<uint8_t*, int64_t>> ready;
+  std::atomic<int64_t> next_to_read{0};
+  int64_t next_to_deliver = 0;
+  size_t capacity;
+  bool stop = false;
+
+  void worker() {
+    for (;;) {
+      int64_t idx = next_to_read.fetch_add(1);
+      if (idx >= (int64_t)paths.size()) return;
+      FILE* f = fopen(paths[idx].c_str(), "rb");
+      uint8_t* buf = nullptr;
+      int64_t n = -1;
+      if (f) {
+        fseek(f, 0, SEEK_END);
+        n = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        buf = (uint8_t*)malloc(n > 0 ? n : 1);
+        if (fread(buf, 1, n, f) != (size_t)n) { free(buf); buf = nullptr; n = -1; }
+        fclose(f);
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      // Sliding-window admission: an item may enter iff it is within
+      // `capacity` of the next delivery index.  A plain size bound can
+      // deadlock — the ring fills with later indices while the worker
+      // holding the next-needed index waits for space forever.
+      cv_space.wait(lk, [&] {
+        return stop || idx < next_to_deliver + (int64_t)capacity;
+      });
+      if (stop) { free(buf); return; }
+      ready.emplace(idx, std::make_pair(buf, n));
+      cv_produced.notify_all();
+    }
+  }
+};
+
+void* dn_prefetch_create(const char** paths, int64_t n, int32_t num_threads,
+                         int32_t capacity) {
+  auto* p = new Prefetcher();
+  p->paths.assign(paths, paths + n);
+  p->capacity = capacity > 0 ? capacity : 8;
+  int nt = num_threads > 0 ? num_threads : 4;
+  for (int i = 0; i < nt; i++)
+    p->workers.emplace_back(&Prefetcher::worker, p);
+  return p;
+}
+
+// In-order delivery of the next file's bytes; returns file index, or -1 at
+// end of the list.  *out is malloc'd (dn_free), *len = -1 on read error.
+int64_t dn_prefetch_next(void* handle, uint8_t** out, int64_t* len) {
+  auto* p = (Prefetcher*)handle;
+  std::unique_lock<std::mutex> lk(p->mu);
+  if (p->next_to_deliver >= (int64_t)p->paths.size()) return -1;
+  int64_t want = p->next_to_deliver;
+  p->cv_produced.wait(lk, [&] { return p->ready.count(want) > 0; });
+  auto item = p->ready[want];
+  p->ready.erase(want);
+  p->next_to_deliver++;
+  p->cv_space.notify_all();
+  *out = item.first;
+  *len = item.second;
+  return want;
+}
+
+void dn_prefetch_free(void* handle) {
+  auto* p = (Prefetcher*)handle;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->stop = true;
+    p->next_to_read.store((int64_t)p->paths.size());
+    p->cv_space.notify_all();
+  }
+  for (auto& t : p->workers) t.join();
+  for (auto& kv : p->ready) free(kv.second.first);
+  delete p;
+}
+
+}  // extern "C"
