@@ -193,6 +193,162 @@ def bin_faces(bbox, face_ok, image_size, tile, max_faces_per_tile):
     return idx.astype(jnp.int32), counts
 
 
+def bin_faces_sorted(bbox, face_ok, image_size, tile,
+                     sy_span: int = 4, sx_span: int = 2,
+                     global_cap: int = 128):
+    """Lossless binning via ONE sort of (tile, face) pairs per sample.
+
+    The top_k path (:func:`bin_faces`) runs a per-tile sort over all F
+    faces (TY*TX sorts) and silently DROPS faces past
+    ``max_faces_per_tile``.  Here every face either registers with the
+    ≤ sy_span x sx_span tiles its bbox covers (one sort of F*S keys), or —
+    if its bbox is larger — goes on a short global list every tile
+    processes.  Per-tile face lists become contiguous ranges of the sorted
+    array; no caps, no drops (beyond ``global_cap`` truly giant faces).
+
+    Returns (vals (F*S,) int32 sorted face ids, starts (T+1,) int32 range
+    table, glob (global_cap+1,) int32 [count, ids...]).
+    """
+    h, w = image_size
+    th, tw = tile
+    ty = pl.cdiv(h, th)
+    tx = pl.cdiv(w, tw)
+    t_total = ty * tx
+    f = bbox.shape[0]
+    s = sy_span * sx_span
+
+    umin, umax = bbox[:, 0], bbox[:, 1]
+    vmin, vmax = bbox[:, 2], bbox[:, 3]
+    tx0 = jnp.clip(jnp.floor(umin / tw), 0, tx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(umax / tw), 0, tx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(vmin / th), 0, ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(vmax / th), 0, ty - 1).astype(jnp.int32)
+    onscreen = face_ok & (umax >= 0) & (umin <= w) & (vmax >= 0) & (vmin <= h)
+    small = onscreen & (tx1 - tx0 < sx_span) & (ty1 - ty0 < sy_span)
+
+    dy = (jnp.arange(s, dtype=jnp.int32) // sx_span)[None, :]
+    dx = (jnp.arange(s, dtype=jnp.int32) % sx_span)[None, :]
+    tyc = ty0[:, None] + dy
+    txc = tx0[:, None] + dx
+    valid = small[:, None] & (tyc <= ty1[:, None]) & (txc <= tx1[:, None])
+    tid = jnp.where(valid, tyc * tx + txc, t_total)  # sentinel = t_total
+    keys = tid.reshape(-1)
+    vals = jnp.broadcast_to(
+        jnp.arange(f, dtype=jnp.int32)[:, None], (f, s)
+    ).reshape(-1)
+    keys_s, vals_s = jax.lax.sort_key_val(keys, vals)
+    starts = jnp.searchsorted(
+        keys_s, jnp.arange(t_total + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    # Global list: big-bbox faces, processed by every tile.
+    gkey = jnp.where(onscreen & ~small, jnp.arange(f, dtype=jnp.int32), f)
+    gsort = jnp.sort(gkey)[:global_cap]
+    gcount = jnp.minimum(
+        jnp.sum((onscreen & ~small).astype(jnp.int32)), global_cap
+    )
+    glob = jnp.concatenate([gcount[None], jnp.where(gsort < f, gsort, 0)])
+    return vals_s, starts, glob
+
+
+def _raster_kernel_sorted(starts_smem, glob_smem, vals_hbm, params_ref,
+                          rgb_ref, depth_ref,
+                          zbuf, rbuf, gbuf, bbuf, ids_smem, dma_sem,
+                          *, tile, n_tx, chunk_rows):
+    """Sort-binned raster kernel: per-tile contiguous ranges + global list.
+
+    ``starts_smem`` (B, T+1) and ``glob_smem`` (B, G+1) arrive via scalar
+    prefetch (SMEM); ``vals_hbm`` (B, NR, 128) holds each sample's sorted
+    face ids; windows are DMA'd chunkwise into SMEM.
+    """
+    th, tw = tile
+    ch = chunk_rows * 128
+    bi = pl.program_id(0)
+    tyi = pl.program_id(1)
+    txi = pl.program_id(2)
+    t_lin = tyi * n_tx + txi
+
+    oy = (tyi * th).astype(jnp.float32)
+    ox = (txi * tw).astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + (
+        oy + 0.5
+    )
+    px = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + (
+        ox + 0.5
+    )
+
+    zbuf[:] = jnp.zeros((th, tw), jnp.float32)
+    rbuf[:] = jnp.zeros((th, tw), jnp.float32)
+    gbuf[:] = jnp.zeros((th, tw), jnp.float32)
+    bbuf[:] = jnp.zeros((th, tw), jnp.float32)
+
+    def face_body(fi):
+        l0 = params_ref[0, fi, 0] * px + params_ref[0, fi, 1] * py + \
+            params_ref[0, fi, 2]
+        l1 = params_ref[0, fi, 3] * px + params_ref[0, fi, 4] * py + \
+            params_ref[0, fi, 5]
+        l2 = params_ref[0, fi, 6] * px + params_ref[0, fi, 7] * py + \
+            params_ref[0, fi, 8]
+        invz = params_ref[0, fi, 9] * px + params_ref[0, fi, 10] * py + \
+            params_ref[0, fi, 11]
+        upd = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (invz > zbuf[:])
+        zbuf[:] = jnp.where(upd, invz, zbuf[:])
+        r = params_ref[0, fi, 12] * px + params_ref[0, fi, 13] * py + \
+            params_ref[0, fi, 14]
+        g = params_ref[0, fi, 15] * px + params_ref[0, fi, 16] * py + \
+            params_ref[0, fi, 17]
+        b = params_ref[0, fi, 18] * px + params_ref[0, fi, 19] * py + \
+            params_ref[0, fi, 20]
+        rbuf[:] = jnp.where(upd, r, rbuf[:])
+        gbuf[:] = jnp.where(upd, g, gbuf[:])
+        bbuf[:] = jnp.where(upd, b, bbuf[:])
+
+    # --- per-tile range, DMA'd in aligned chunks -------------------------
+    start = starts_smem[bi, t_lin]
+    end = starts_smem[bi, t_lin + 1]
+    row0 = start // 128
+    n_chunks = jax.lax.cond(
+        end > start,
+        lambda: (end - row0 * 128 + ch - 1) // ch,
+        lambda: 0,
+    )
+
+    def chunk_body(c, _):
+        base = row0 + c * chunk_rows  # row index into vals_hbm[bi]
+        dma = pltpu.make_async_copy(
+            vals_hbm.at[bi, pl.ds(base, chunk_rows)], ids_smem, dma_sem
+        )
+        dma.start()
+        lo = jnp.maximum(start - (base * 128), 0)
+        hi = jnp.minimum(end - (base * 128), ch)
+        dma.wait()
+
+        def id_body(j, _):
+            face_body(ids_smem[j // 128, j % 128])
+            return 0
+
+        jax.lax.fori_loop(lo, hi, id_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # --- global (big-bbox) faces -----------------------------------------
+    gcount = glob_smem[bi, 0]
+
+    def glob_body(j, _):
+        face_body(glob_smem[bi, 1 + j])
+        return 0
+
+    jax.lax.fori_loop(0, gcount, glob_body, 0)
+
+    hit = zbuf[:] > 0
+    inv = 1.0 / jnp.maximum(zbuf[:], 1e-9)
+    depth_ref[0] = jnp.where(hit, inv, 0.0)
+    rgb_ref[0, 0] = rbuf[:] * inv
+    rgb_ref[0, 1] = gbuf[:] * inv
+    rgb_ref[0, 2] = bbuf[:] * inv
+
+
 def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
                    zbuf, rbuf, gbuf, bbuf, list_smem, dma_sem, *, tile, n_tx):
     th, tw = tile
@@ -267,7 +423,7 @@ def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("image_size", "tile", "max_faces_per_tile", "z_near",
-                     "interpret"),
+                     "interpret", "binning"),
 )
 def render_batch(
     vertices: jax.Array,  # (V, 3) shared or (B, V, 3) per-sample
@@ -282,6 +438,7 @@ def render_batch(
     tile: tuple[int, int] = (32, 256),
     max_faces_per_tile: int = 512,
     interpret: bool = False,
+    binning: str = "sort",  # "sort" (lossless) | "topk" (capped legacy)
 ) -> tuple[jax.Array, jax.Array]:
     """Rasterize a batch of hypotheses → (rgb (B, H, W, 3), depth (B, H, W)).
 
@@ -319,7 +476,7 @@ def render_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("image_size", "tile", "max_faces_per_tile", "z_near",
-                     "interpret"),
+                     "interpret", "binning"),
 )
 def render_batch_tri(
     tri_pos: jax.Array,  # (B, 9, F) corner-major SoA object-frame positions
@@ -333,6 +490,7 @@ def render_batch_tri(
     tile: tuple[int, int] = (32, 256),
     max_faces_per_tile: int = 512,
     interpret: bool = False,
+    binning: str = "sort",  # "sort" (lossless) | "topk" (capped legacy)
 ) -> tuple[jax.Array, jax.Array]:
     """Gather-free production render path (corner-major mesh data).
 
@@ -346,8 +504,65 @@ def render_batch_tri(
         )
     )
     params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses, ks)
+    if binning == "sort":
+        return _render_from_params_sorted(params, bbox, face_ok, image_size,
+                                          tile, interpret)
     return _render_from_params(params, bbox, face_ok, image_size, tile,
                                max_faces_per_tile, interpret)
+
+
+def _render_from_params_sorted(params, bbox, face_ok, image_size, tile,
+                               interpret, chunk_rows: int = 4,
+                               global_cap: int = 128):
+    """Lossless sort-binned launch (see :func:`bin_faces_sorted`)."""
+    b, f = params.shape[0], params.shape[1]
+    h, w = image_size
+    th, tw = tile
+    ty = pl.cdiv(h, th)
+    tx = pl.cdiv(w, tw)
+
+    vals, starts, glob = jax.vmap(
+        lambda bb, ok: bin_faces_sorted(bb, ok, image_size, tile,
+                                        global_cap=global_cap)
+    )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, G+1)
+    # Row-pack sorted ids; pad so any chunk window stays in bounds.
+    n = vals.shape[1]
+    nr = pl.cdiv(n, 128) + chunk_rows
+    vals3 = jnp.zeros((b, nr * 128), jnp.int32).at[:, :n].set(vals)
+    vals3 = vals3.reshape(b, nr, 128)
+
+    kernel = functools.partial(_raster_kernel_sorted, tile=tile, n_tx=tx,
+                               chunk_rows=chunk_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, ty, tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+            pl.BlockSpec((1, f, 24), lambda bi, yi, xi, *_: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, th, tw), lambda bi, yi, xi, *_: (bi, 0, yi, xi)),
+            pl.BlockSpec((1, th, tw), lambda bi, yi, xi, *_: (bi, yi, xi)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.SMEM((chunk_rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    rgb, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, glob, vals3, params)
+    return jnp.transpose(rgb, (0, 2, 3, 1)), depth
 
 
 def _render_from_params(params, bbox, face_ok, image_size, tile,
