@@ -9,4 +9,5 @@ from deepim_tpu.parallel.mesh import (
     replicate,
     replicated,
     shard_batch,
+    shard_params_for_tp,
 )

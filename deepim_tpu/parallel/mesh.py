@@ -51,3 +51,38 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+# Tensor-parallel layout for the pose head (GSPMD path).  The FlowNetS
+# convs are small enough to replicate; the flatten-FC stack is the one
+# weight-heavy matmul (81920x1024 at 480x640 input) — shard fc1 over its
+# output features and fc2 over its input features so the pair needs a
+# single reduce (GSPMD inserts it over ICI automatically).
+_TP_RULES = {
+    ("fc1", "kernel"): P(None, MODEL_AXIS),
+    ("fc1", "bias"): P(MODEL_AXIS),
+    ("fc2", "kernel"): P(MODEL_AXIS, None),
+}
+
+
+def shard_params_for_tp(variables, mesh: Mesh):
+    """Place flax variables with pose-head FCs sharded over 'model'.
+
+    Everything else replicates.  Optimizer states initialized FROM these
+    arrays inherit the shardings (zeros_like preserves sharding), so
+    ``tx.init(sharded_params)`` needs no extra plumbing.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    treedef = jax.tree_util.tree_structure(variables)
+    out = []
+    for path, leaf in flat:
+        keys = tuple(
+            p.key for p in path if isinstance(p, jax.tree_util.DictKey)
+        )
+        spec = P()
+        for (mod, param), rule in _TP_RULES.items():
+            if mod in keys and keys and keys[-1] == param:
+                spec = rule
+                break
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)

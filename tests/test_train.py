@@ -220,3 +220,31 @@ def test_micro_overfit(assets):
         rot_errs.append(float(metrics["rot_err_deg_0"]))
     assert min(losses) < losses[0] * 0.5, losses[::20]
     assert min(rot_errs) < rot_errs[0] * 0.7, rot_errs[::20]
+
+
+def test_gspmd_tp_step_matches_single(assets):
+    """GSPMD DP+TP ((4, 2) mesh, pose-head FCs sharded over 'model') gives
+    the same loss and updated params as the single-device step."""
+    from deepim_tpu.parallel import shard_batch, shard_params_for_tp
+    from deepim_tpu.train import make_optimizer
+
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    batch = synthetic_batch(jax.random.PRNGKey(11), assets, 8, K_CAM, (H, W),
+                            renderer="xla")
+
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    s1, m1 = make_train_step(model, assets, cfg)(state, batch)
+    ref_leaves = [np.asarray(x) for x in jax.tree.leaves(s1.params)]
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state2 = init_state(cfg, model, jax.random.PRNGKey(0))
+    params_tp = shard_params_for_tp(state2.params, mesh)
+    tx = make_optimizer(cfg)
+    state2 = type(state2)(state2.step, params_tp, tx.init(params_tp))
+    s2, m2 = make_train_step(model, assets, cfg)(state2,
+                                                 shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(ref_leaves, jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=2e-4, atol=2e-6)
