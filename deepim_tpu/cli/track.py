@@ -1,0 +1,109 @@
+"""Video tracking driver: ``python -m deepim_tpu.cli.track --cfg <yaml>``.
+
+The YCB-Video evaluation role of the reference (``lib/dataset/ycb_video*``
++ ``pred_eval``): track every object through each sequence by propagating
+refined poses frame-to-frame, then report per-frame ADD(-S) and the AUC
+tables the YCB protocol uses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Video pose tracking eval")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--video-root", default="",
+                   help="video dataset root (default: generate synthetic)")
+    p.add_argument("--num-frames", type=int, default=8)
+    p.add_argument("--iters-first", type=int, default=4)
+    p.add_argument("--iters-rest", type=int, default=2)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepim_tpu.cli.train import load_assets_and_names
+    from deepim_tpu.config import update_config
+    from deepim_tpu.data.video import VideoDataset, gen_video
+    from deepim_tpu.eval import evaluate_poses, format_table
+    from deepim_tpu.raster.camera import make_intrinsics
+    from deepim_tpu.raster.mesh import PROCEDURAL_MESHES
+    from deepim_tpu.refine.video import refine_video
+    from deepim_tpu.train import init_state, make_model
+    from deepim_tpu.train.checkpoint import latest_step, restore_checkpoint
+
+    cfg = update_config(args.cfg)
+    out_dir = os.path.join(cfg.output_dir, cfg.experiment)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    d = cfg.dataset
+    image_size = (d.image_height, d.image_width)
+    out_size = (cfg.network.input_height, cfg.network.input_width)
+    k_np = np.array([[d.fx, 0, d.cx], [0, d.fy, d.cy], [0, 0, 1]], np.float32)
+
+    assets, names, symmetric = load_assets_and_names(cfg, eval_set=True)
+    model = make_model(cfg, len(cfg.dataset.objects))
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    if latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        print(f"loaded checkpoint step {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint — tracking with an untrained net")
+
+    root = args.video_root
+    if not root:
+        root = os.path.join(out_dir, "video_data")
+        if not os.path.isdir(os.path.join(root, "video_sets")):
+            print(f"generating synthetic video dataset under {root}")
+            meshes = {n: PROCEDURAL_MESHES[n]() for n in names}
+            gen_video(root, meshes, k_np, image_size,
+                      num_frames=args.num_frames,
+                      renderer="xla" if jax.devices()[0].platform == "cpu"
+                      else "pallas")
+    ds = VideoDataset(root, names)
+
+    all_est, all_gt, all_cls = [], [], []
+    for seq in ds.sequences():
+        data = ds.load_sequence(seq)
+        frames = jnp.asarray(data["frames"])[:, None].repeat(
+            len(data["class_idx"]), axis=1
+        )  # (T, M, H, W, 3): every tracked object sees the full frame
+        init = ds.init_poses(seq)
+        init = jnp.asarray(init if init is not None else data["poses"][0])
+        cls = jnp.asarray(data["class_idx"])
+        ks = jnp.tile(jnp.asarray(k_np)[None], (cls.shape[0], 1, 1))
+        traj = refine_video(
+            state.params, model, assets, frames, init, ks, cls,
+            iters_first=args.iters_first, iters_rest=args.iters_rest,
+            out_size=out_size,
+            renderer=cfg.test.renderer
+            if jax.devices()[0].platform == "tpu" else "xla",
+        )
+        t_frames, m = traj.shape[0], traj.shape[1]
+        all_est.append(np.asarray(traj).reshape(t_frames * m, 3, 4))
+        all_gt.append(np.asarray(data["poses"]).reshape(t_frames * m, 3, 4))
+        all_cls.append(np.tile(np.asarray(cls), t_frames))
+        print(f"seq {seq}: tracked {m} objects over {t_frames} frames")
+
+    est = np.concatenate(all_est)
+    gt = np.concatenate(all_gt)
+    cls = np.concatenate(all_cls)
+    ks = np.tile(k_np[None], (len(est), 1, 1))
+    results = evaluate_poses(assets, names, symmetric, est, gt, cls, ks)
+    print(format_table(results, f"{cfg.experiment} — video tracking "
+                                f"(AUC = YCB protocol)"))
+    with open(os.path.join(out_dir, "track_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

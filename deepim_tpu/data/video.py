@@ -1,0 +1,212 @@
+"""Video pose-tracking datasets (the YCB-Video role in the reference).
+
+Rebuild of the reference's YCB-Video handling (``lib/dataset/ycb_video*``:
+21-object video sequences, keyframe test lists, PoseCNN init poses, AUC
+evaluation).  Layout (extends the LM6d observed layout with ordered
+sequences and per-frame multi-object poses):
+
+    {root}/models/{obj}/textured.ply
+    {root}/data/video/{seq}/{frame}-color.png / -depth.png / -label.png
+    {root}/data/video/{seq}/{frame}-pose_{obj}.txt
+    {root}/video_sets/{seq}.txt          # ordered frame ids, one per line
+    {root}/video_sets/{seq}_objects.txt  # object names present in the seq
+    {root}/init_poses/video_{seq}.txt    # (M, 3, 4) frame-0 inits
+
+Tracking evaluation: :func:`deepim_tpu.refine.video.refine_video`
+propagates poses frame-to-frame; AUC ADD(-S) per the YCB protocol comes
+from :func:`deepim_tpu.eval.evaluator.evaluate_poses`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from deepim_tpu.data.lm6d import DEPTH_FACTOR, LM6DDataset
+
+
+class VideoDataset:
+    """Reader/writer for the sequence layout above."""
+
+    def __init__(self, root: str, objects: list[str]):
+        self.root = root
+        self.objects = list(objects)
+        self.class_to_idx = {o: i for i, o in enumerate(self.objects)}
+        # reuse the LM6d machinery for models + per-frame files
+        self._frames = LM6DDataset(root, objects)
+
+    def _vid(self, seq: str, frame: str, suffix: str) -> str:
+        return os.path.join(self.root, "data", "video", seq,
+                            f"{frame}-{suffix}")
+
+    def sequences(self) -> list[str]:
+        d = os.path.join(self.root, "video_sets")
+        return sorted(
+            f[:-4] for f in os.listdir(d)
+            if f.endswith(".txt") and not f.endswith("_objects.txt")
+        )
+
+    def frame_ids(self, seq: str) -> list[str]:
+        with open(os.path.join(self.root, "video_sets", f"{seq}.txt")) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    def objects_in(self, seq: str) -> list[str]:
+        path = os.path.join(self.root, "video_sets", f"{seq}_objects.txt")
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    def init_poses(self, seq: str) -> np.ndarray | None:
+        path = os.path.join(self.root, "init_poses", f"video_{seq}.txt")
+        if not os.path.exists(path):
+            return None
+        return np.loadtxt(path, dtype=np.float32).reshape(-1, 3, 4)
+
+    def load_sequence(self, seq: str) -> dict:
+        """-> frames (T, H, W, 3) f32, poses (T, M, 3, 4), class_idx (M,)."""
+        objs = self.objects_in(seq)
+        fids = self.frame_ids(seq)
+        frames, poses = [], []
+        for fid in fids:
+            rgb = LM6DDataset._read_image(
+                self._vid(seq, fid, "color.png")
+            ).astype(np.float32) / 255.0
+            frames.append(rgb)
+            per_obj = [
+                np.loadtxt(self._vid(seq, fid, f"pose_{o}.txt"),
+                           dtype=np.float32).reshape(3, 4)
+                for o in objs
+            ]
+            poses.append(np.stack(per_obj))
+        return {
+            "frames": np.stack(frames),
+            "poses": np.stack(poses),
+            "class_idx": np.asarray(
+                [self.class_to_idx[o] for o in objs], np.int32
+            ),
+            "objects": objs,
+        }
+
+    # -- writing (toolkit) -----------------------------------------------
+
+    def write_sequence(self, seq: str, frame_ids: list[str], objs: list[str],
+                       rgbs: np.ndarray, depths: np.ndarray,
+                       poses: np.ndarray, init_poses: np.ndarray) -> None:
+        from PIL import Image
+
+        d = os.path.join(self.root, "data", "video", seq)
+        os.makedirs(d, exist_ok=True)
+        os.makedirs(os.path.join(self.root, "video_sets"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "init_poses"), exist_ok=True)
+        for t, fid in enumerate(frame_ids):
+            Image.fromarray(
+                np.clip(rgbs[t] * 255, 0, 255).astype(np.uint8)
+            ).save(self._vid(seq, fid, "color.png"))
+            Image.fromarray(
+                (depths[t] * DEPTH_FACTOR).astype(np.uint16)
+            ).save(self._vid(seq, fid, "depth.png"))
+            for m, o in enumerate(objs):
+                np.savetxt(self._vid(seq, fid, f"pose_{o}.txt"),
+                           poses[t, m])
+        with open(os.path.join(self.root, "video_sets", f"{seq}.txt"),
+                  "w") as f:
+            f.write("\n".join(frame_ids) + "\n")
+        with open(os.path.join(self.root, "video_sets",
+                               f"{seq}_objects.txt"), "w") as f:
+            f.write("\n".join(objs) + "\n")
+        np.savetxt(os.path.join(self.root, "init_poses",
+                                f"video_{seq}.txt"),
+                   init_poses.reshape(-1, 12))
+
+
+def gen_video(root: str, meshes: dict, k: np.ndarray,
+              image_size: tuple[int, int], num_frames: int = 10,
+              num_sequences: int = 1, seed: int = 0,
+              renderer: str = "xla") -> VideoDataset:
+    """Generate smooth-trajectory multi-object sequences (toolkit parity:
+    the reference consumes recorded YCB videos; here the framework's own
+    renderer synthesizes them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepim_tpu.data.pairs import perturb_poses, sample_poses_in_frustum
+    from deepim_tpu.geometry.rotations import mat2quat, quat2mat, quat_slerp
+    from deepim_tpu.refine import build_assets
+    from deepim_tpu.refine.refiner import render_scene
+
+    objects = list(meshes)
+    ds = VideoDataset(root, objects)
+    for o in objects:
+        ds._frames.write_model(o, meshes[o])
+    assets = build_assets([meshes[o] for o in objects], num_points=256)
+    kj = jnp.asarray(k, jnp.float32)
+    m = len(objects)
+
+    for s in range(num_sequences):
+        key = jax.random.PRNGKey(seed + 101 * s)
+        k0, k1, kn = jax.random.split(key, 3)
+        start = sample_poses_in_frustum(k0, m, kj, image_size,
+                                        z_range=(0.7, 1.1))
+        end = perturb_poses(k1, start, rot_std_deg=25.0, rot_max_deg=60.0,
+                            trans_std=(0.08, 0.08, 0.1),
+                            trans_max=(0.15, 0.15, 0.2))
+        q0 = mat2quat(start[..., :3])
+        q1 = mat2quat(end[..., :3])
+        ts = jnp.linspace(0.0, 1.0, num_frames)
+        poses = []
+        for t in ts:
+            q = quat_slerp(q0, q1, jnp.full((m,), t))
+            tr = (1 - t) * start[..., 3] + t * end[..., 3]
+            poses.append(jnp.concatenate([quat2mat(q), tr[..., None]], -1))
+        poses = jnp.stack(poses)  # (T, M, 3, 4)
+
+        cls = jnp.arange(m, dtype=jnp.int32)
+        rgbs, depths = [], []
+        for t in range(num_frames):
+            rgb, dep = _render_frame(assets, cls, poses[t], kj, image_size,
+                                     renderer)
+            rgbs.append(rgb)
+            depths.append(dep)
+        inits = perturb_poses(kn, poses[0], rot_std_deg=10.0,
+                              rot_max_deg=30.0, trans_std=(0.01, 0.01, 0.03),
+                              trans_max=(0.03, 0.03, 0.08))
+        ds.write_sequence(
+            f"{s:04d}", [f"{t:06d}" for t in range(num_frames)], objects,
+            np.asarray(jnp.stack(rgbs)), np.asarray(jnp.stack(depths)),
+            np.asarray(poses), np.asarray(inits),
+        )
+    return ds
+
+
+def _render_frame(assets, cls, poses, k, image_size, renderer):
+    import jax.numpy as jnp
+
+    from deepim_tpu.refine import gather_class
+    from deepim_tpu.refine.refiner import render_crops, render_scene
+
+    m = cls.shape[0]
+    ks1 = k[None]
+    if renderer == "xla":
+        # per-object render + depth merge (CPU path)
+        rgbs, deps = [], []
+        for j in range(m):
+            ab = gather_class(assets, cls[j : j + 1])
+            rgb, dep = render_crops(ab, poses[j : j + 1], ks1, image_size,
+                                    "xla")
+            rgbs.append(rgb[0])
+            deps.append(dep[0])
+        rgbs = jnp.stack(rgbs)
+        deps = jnp.stack(deps)
+        big = jnp.where(deps > 0, deps, jnp.inf)
+        best = jnp.argmin(big, axis=0)
+        hit = jnp.any(deps > 0, axis=0)
+        depth = jnp.where(hit, jnp.min(big, axis=0), 0.0)
+        rgb = jnp.take_along_axis(
+            rgbs, best[None, ..., None].astype(jnp.int32), axis=0
+        )[0]
+        return jnp.where(hit[..., None], rgb, 0.0), depth
+    rgb, depth = render_scene(
+        assets, cls[None], poses[None], jnp.ones((1, m), bool), ks1,
+        image_size, interpret=renderer == "pallas_interpret",
+    )
+    return rgb[0], depth[0]

@@ -154,6 +154,28 @@ def random_quat(key: jax.Array, shape: tuple = ()) -> jax.Array:
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
 
 
+def quat_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
+    """Spherical interpolation between unit quats; t in [0, 1] (...,).
+
+    Shortest-path (sign-corrected); falls back to lerp for nearly-parallel
+    quats (branch-free).  Used by the video-trajectory generator.
+    """
+    q0 = quat_normalize(q0)
+    q1 = quat_normalize(q1)
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0, -q1, q1)
+    dot = jnp.abs(dot)
+    dot = jnp.clip(dot, -1.0, 1.0)
+    theta = jnp.arccos(dot)
+    sin_theta = jnp.sin(theta)
+    safe = sin_theta > 1e-5
+    t = t[..., None] if jnp.ndim(t) < jnp.ndim(dot) else t
+    w0 = jnp.where(safe, jnp.sin((1 - t) * theta) / jnp.maximum(sin_theta, 1e-9),
+                   1 - t)
+    w1 = jnp.where(safe, jnp.sin(t * theta) / jnp.maximum(sin_theta, 1e-9), t)
+    return quat_normalize(w0 * q0 + w1 * q1)
+
+
 def rotation_angle(m: jax.Array) -> jax.Array:
     """Geodesic rotation angle (radians) of rotation matrix(es) (..., 3, 3)."""
     tr = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]

@@ -2,6 +2,8 @@
 MXNet weight-converter round-trip.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,3 +146,72 @@ def test_mxnet_converter_roundtrip():
             params["deconv5"]["kernel"],
             atol=1e-6,
         )
+
+
+def test_quat_slerp():
+    from deepim_tpu.geometry.rotations import (
+        axangle2quat, quat_slerp, quat2mat, rotation_angle,
+    )
+
+    axis = jnp.array([0.0, 0.0, 1.0])
+    q0 = axangle2quat(axis, jnp.float32(0.0))
+    q1 = axangle2quat(axis, jnp.float32(1.0))  # 1 rad about z
+    qm = quat_slerp(q0, q1, jnp.float32(0.5))
+    ang = rotation_angle(quat2mat(qm))
+    np.testing.assert_allclose(float(ang), 0.5, atol=1e-5)
+    # endpoint and sign handling
+    np.testing.assert_allclose(
+        np.asarray(quat_slerp(q0, -q1, jnp.float32(1.0))),
+        np.asarray(q1), atol=1e-5,
+    )
+
+
+def test_video_dataset_roundtrip(tmp_path):
+    from deepim_tpu.data.video import VideoDataset, gen_video
+    from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+
+    k = np.array([[120.0, 0, 64], [0, 120.0, 32], [0, 0, 1]], np.float32)
+    root = str(tmp_path / "vid")
+    gen_video(root, {"box": box_mesh((0.3, 0.3, 0.06)),
+                     "icosphere": icosphere_mesh(0.05)},
+              k, (H, W), num_frames=4, renderer="xla")
+    ds = VideoDataset(root, ["box", "icosphere"])
+    assert ds.sequences() == ["0000"]
+    data = ds.load_sequence("0000")
+    assert data["frames"].shape == (4, H, W, 3)
+    assert data["poses"].shape == (4, 2, 3, 4)
+    # poses move smoothly over the sequence
+    step = np.linalg.norm(
+        data["poses"][1:, :, :, 3] - data["poses"][:-1, :, :, 3], axis=-1
+    )
+    assert (step < 0.1).all()
+    inits = ds.init_poses("0000")
+    assert inits.shape == (2, 3, 4)
+
+
+@pytest.mark.slow
+def test_cli_track_end_to_end(tmp_path):
+    import yaml
+
+    from deepim_tpu.cli import track as cli_track
+
+    cfg = {
+        "experiment": "trk",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                    "image_height": 96, "image_width": 160,
+                    "fx": 120.0, "fy": 120.0, "cx": 80.0, "cy": 48.0,
+                    "num_points": 64},
+        "train": {"batch_size": 8, "renderer": "xla"},
+        "test": {"test_iter": 1, "renderer": "xla"},
+    }
+    cfg_path = str(tmp_path / "trk.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    rc = cli_track.main(["--cfg", cfg_path, "--num-frames", "3",
+                         "--iters-first", "1", "--iters-rest", "1"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "out" / "trk" /
+                              "track_results.json"))
