@@ -81,7 +81,8 @@ def _nearest_matrix(src: jax.Array, size_in: int) -> jax.Array:
 
 
 def resample_affine(img: jax.Array, out_size: tuple[int, int], x0, y0, sx, sy,
-                    method: str = "bilinear") -> jax.Array:
+                    method: str = "bilinear",
+                    precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Axis-aligned affine crop+resize as two separable matmuls.
 
     TPU-first replacement for gather-based sampling on affine grids: a
@@ -101,9 +102,11 @@ def resample_affine(img: jax.Array, out_size: tuple[int, int], x0, y0, sx, sy,
     make = _bilinear_matrix if method == "bilinear" else _nearest_matrix
     wy = make(src_y, h)  # (oh, h)
     wx = make(src_x, w)  # (ow, w)
-    hi = jax.lax.Precision.HIGHEST
-    tmp = jnp.einsum("oh,hwc->owc", wy, img, precision=hi)
-    return jnp.einsum("pw,owc->opc", wx, tmp, precision=hi)
+    # precision: HIGHEST for metric tensors (depth/flow/mask); callers may
+    # drop to DEFAULT (bf16 inputs) for 8-bit-origin RGB — ~3x faster on
+    # the MXU, interpolation error ~0.4% of full scale.
+    tmp = jnp.einsum("oh,hwc->owc", wy, img, precision=precision)
+    return jnp.einsum("pw,owc->opc", wx, tmp, precision=precision)
 
 
 def affine_grid(out_size: tuple[int, int], x0, y0, sx, sy) -> jax.Array:

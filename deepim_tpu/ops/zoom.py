@@ -107,20 +107,23 @@ def zoom_intrinsics(k: jax.Array, box: ZoomBox) -> jax.Array:
 
 
 def zoom_image(img: jax.Array, box: ZoomBox, out_size: tuple[int, int],
-               method: str = "bilinear", fill_value: float = 0.0) -> jax.Array:
+               method: str = "bilinear", fill_value: float = 0.0,
+               precision=None) -> jax.Array:
     """Crop+resize one (H, W, C) image into (H_out, W_out, C).
 
     Separable-matmul resample (MXU path); see
     :func:`deepim_tpu.ops.resample.resample_affine`.  ``fill_value`` other
     than 0 is not supported on this path (the zoom always fills with 0,
-    like the reference's border handling).
+    like the reference's border handling).  ``precision=None`` -> HIGHEST;
+    pass ``jax.lax.Precision.DEFAULT`` for 8-bit-origin RGB (3x faster).
     """
     if method not in ("bilinear", "nearest"):
         raise ValueError(method)
     if fill_value != 0.0:
         raise NotImplementedError("zoom fill_value must be 0")
+    precision = jax.lax.Precision.HIGHEST if precision is None else precision
     return resample_affine(img, out_size, box.x0, box.y0, box.sx, box.sy,
-                           method=method)
+                           method=method, precision=precision)
 
 
 def zoom_flow(flow: jax.Array, box: ZoomBox, out_size: tuple[int, int]) -> jax.Array:

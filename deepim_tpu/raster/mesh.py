@@ -15,8 +15,8 @@ buffers).  TPU-first differences:
 
 from __future__ import annotations
 
-import struct
-from dataclasses import dataclass, replace
+import os
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -212,6 +212,55 @@ PROCEDURAL_MESHES = {
 # ---------------------------------------------------------------------------
 
 
+def _sniff_texture(path: str) -> str | None:
+    """Header peek: per-vertex UVs + 'comment TextureFile <f>' -> texture
+    path (YCB textured.ply style), else None."""
+    tex_file = None
+    has_uv = False
+    with open(path, "rb") as f:
+        for _ in range(100):
+            line = f.readline().decode("ascii", "replace").strip()
+            if line.startswith("comment TextureFile"):
+                tex_file = line.split()[-1]
+            if line.startswith("property") and line.endswith(
+                ("texture_u", "s")
+            ):
+                has_uv = True
+            if line == "end_header" or not line:
+                break
+    if has_uv and tex_file:
+        cand = os.path.join(os.path.dirname(path), tex_file)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def bake_texture_to_vertices(uv: np.ndarray, texture: np.ndarray) -> np.ndarray:
+    """Sample a texture image at per-vertex UVs -> (V, 3) colors in [0, 1].
+
+    YCB-style textured meshes sample in v1 via color baking (SURVEY.md §7
+    step 2: dodge in-raster texture lookups; scanned meshes are dense
+    enough that per-vertex color preserves appearance at crop scales).
+    UV origin bottom-left (OpenGL convention, matching the reference's
+    GLSL texture path); bilinear taps.
+    """
+    h, w = texture.shape[:2]
+    x = np.clip(uv[:, 0], 0, 1) * (w - 1)
+    y = (1.0 - np.clip(uv[:, 1], 0, 1)) * (h - 1)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    tx = (x - x0)[:, None]
+    ty = (y - y0)[:, None]
+    t = texture[..., :3].astype(np.float32)
+    if t.max() > 1.5:
+        t = t / 255.0
+    top = t[y0, x0] * (1 - tx) + t[y0, x1] * tx
+    bot = t[y1, x0] * (1 - tx) + t[y1, x1] * tx
+    return (top * (1 - ty) + bot * ty).astype(np.float32)
+
+
 def load_ply(path: str) -> Mesh:
     """Minimal PLY reader: xyz (+ rgb/nxnynz if present) + triangle faces.
 
@@ -223,7 +272,8 @@ def load_ply(path: str) -> Mesh:
     """
     from deepim_tpu import native
 
-    if native.available():
+    textured = _sniff_texture(path)
+    if native.available() and textured is None:
         out = native.load_ply(path)
         if out is not None:
             v, c, f = out
@@ -304,6 +354,16 @@ def load_ply(path: str) -> Mesh:
         colors = np.stack([get("red"), get("green"), get("blue")], -1) / 255.0
     else:
         colors = np.full_like(vertices, 0.7)
+    # Textured (YCB-style) meshes: bake the texture map to vertex colors.
+    uv_names = ("texture_u", "texture_v") if "texture_u" in names else (
+        ("s", "t") if "s" in names and "t" in names else None
+    )
+    if textured is not None and uv_names is not None:
+        from PIL import Image
+
+        uv = np.stack([get(uv_names[0]), get(uv_names[1])], -1)
+        texture = np.asarray(Image.open(textured))
+        colors = bake_texture_to_vertices(uv, texture)
 
     # Faces (fan-triangulate polygons)
     frows, _ = data.get("face", ([], []))

@@ -216,7 +216,8 @@ def refine_step(
     ren_rgb, _ = render_crops(assets_b, pose, k_zoom, out_size, renderer)
     obs_crop = jax.vmap(
         lambda im, x0, y0, sx, sy: zoom_image(
-            im, type(box)(x0, y0, sx, sy), out_size
+            im, type(box)(x0, y0, sx, sy), out_size,
+            precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
         )
     )(obs_rgb, box.x0, box.y0, box.sx, box.sy)
 

@@ -101,10 +101,11 @@ def init_state(cfg: Config, model: DeepIMFlowNet, key: jax.Array) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
 
 
-def _zoom_batch(imgs, box: ZoomBox, out_size, method):
+def _zoom_batch(imgs, box: ZoomBox, out_size, method, precision=None):
     return jax.vmap(
         lambda im, x0, y0, sx, sy: zoom_image(
-            im, ZoomBox(x0, y0, sx, sy), out_size, method=method
+            im, ZoomBox(x0, y0, sx, sy), out_size, method=method,
+            precision=precision,
         )
     )(imgs, box.x0, box.y0, box.sx, box.sy)
 
@@ -137,7 +138,8 @@ def compute_losses(
         kz = zoom_intrinsics(k, box)
         ren_rgb, ren_depth = render_crops(ab, pose_src, kz, out_size,
                                           t.renderer)
-        obs_crop = _zoom_batch(batch["obs_rgb"], box, out_size, "bilinear")
+        obs_crop = _zoom_batch(batch["obs_rgb"], box, out_size, "bilinear",
+                               precision=jax.lax.Precision.DEFAULT)
         out = model.apply(params, network_input(obs_crop, ren_rgb))
 
         quat = decode_rot(select_class(out["rot_raw"], batch["class_idx"]),
