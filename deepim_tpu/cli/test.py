@@ -65,7 +65,33 @@ def main(argv=None):
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
     bs = cfg.test.batch_size
 
-    if d.name.startswith("synthetic"):
+    if d.name == "synthetic_occlusion":
+        # Occluded-LINEMOD protocol: observed frames are multi-object
+        # scenes with distractor occluders.
+        from deepim_tpu.data.synthetic import synthetic_occlusion_batch
+
+        n = args.num_samples or 8 * bs
+        n = (n // bs) * bs
+        obs, pose_gt, init, class_idx = [], [], [], []
+        for i in range(n // bs):
+            b = synthetic_occlusion_batch(
+                jax.random.PRNGKey(1000 + i), assets, bs, k_cam, image_size,
+                rot_noise_deg=cfg.train.rot_noise_deg,
+                rot_max_deg=cfg.train.rot_noise_max_deg,
+                trans_noise=cfg.train.trans_noise,
+                trans_max=cfg.train.trans_noise_max,
+                renderer=cfg.test.renderer,
+            )
+            obs.append(b["obs_rgb"])
+            pose_gt.append(b["pose_tgt"])
+            init.append(b["pose_src"])
+            class_idx.append(b["class_idx"])
+        obs = jnp.concatenate(obs)
+        pose_gt = jnp.concatenate(pose_gt)
+        init = jnp.concatenate(init)
+        class_idx = jnp.concatenate(class_idx)
+        ks = jnp.tile(k_cam[None], (n, 1, 1))
+    elif d.name.startswith("synthetic"):
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
         key = jax.random.PRNGKey(123)

@@ -83,6 +83,8 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
 
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     n_dev = args.n_devices or len(jax.devices())
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
     print(f"devices: {n_dev} ({jax.devices()[0].platform}); "

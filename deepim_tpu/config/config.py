@@ -68,6 +68,7 @@ class TrainConfig:
     checkpoint_every: int = 1000
     log_every: int = 20
     seed: int = 3
+    debug_nans: bool = False  # jax_debug_nans for CI runs (SURVEY.md §5)
 
 
 @dataclass
