@@ -66,8 +66,10 @@ def main() -> int:
             variables, model, assets, obs, init, ks, class_idx,
             num_iters=K_ITERS, out_size=(480, 640), renderer=renderer,
         )
-        out.block_until_ready()
-        return out
+        # block_until_ready alone has been seen returning early over the
+        # experimental axon tunnel; a scalar device->host transfer is a
+        # hard synchronization point (costs ~ms, run is ~200ms).
+        return float(out[0, 0, 0])
 
     run()  # compile
     # steady state: median of 5 timed reps

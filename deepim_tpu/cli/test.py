@@ -92,24 +92,32 @@ def main(argv=None):
         class_idx = jnp.concatenate(class_idx)
         ks = jnp.tile(k_cam[None], (n, 1, 1))
     elif d.name.startswith("synthetic"):
+        # Observed frames come from the SAME generator as training
+        # (randomized lighting, noise background) — the eval distribution
+        # must match the train distribution, only the seeds differ.
+        from deepim_tpu.data.synthetic import synthetic_batch
+
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
-        key = jax.random.PRNGKey(123)
-        kc, kp, kn = jax.random.split(key, 3)
-        class_idx = jax.random.randint(kc, (n,), 0, assets.num_classes)
-        pose_gt = sample_poses_in_frustum(kp, n, k_cam, image_size)
-        init = perturb_poses(kn, pose_gt, cfg.train.rot_noise_deg,
-                             cfg.train.rot_noise_max_deg,
-                             cfg.train.trans_noise, cfg.train.trans_noise_max)
-        ks = jnp.tile(k_cam[None], (n, 1, 1))
-        # observed frames rendered at GT (the synthetic protocol)
-        obs = []
-        for i in range(0, n, bs):
-            ab = gather_class(assets, class_idx[i : i + bs])
-            rgb, _ = render_crops(ab, pose_gt[i : i + bs], ks[i : i + bs],
-                                  image_size, cfg.test.renderer)
-            obs.append(rgb)
+        obs, pose_gt, init, class_idx = [], [], [], []
+        for i in range(n // bs):
+            b = synthetic_batch(
+                jax.random.PRNGKey(9000 + i), assets, bs, k_cam, image_size,
+                rot_noise_deg=cfg.train.rot_noise_deg,
+                rot_max_deg=cfg.train.rot_noise_max_deg,
+                trans_noise=cfg.train.trans_noise,
+                trans_max=cfg.train.trans_noise_max,
+                renderer=cfg.test.renderer,
+            )
+            obs.append(b["obs_rgb"])
+            pose_gt.append(b["pose_tgt"])
+            init.append(b["pose_src"])
+            class_idx.append(b["class_idx"])
         obs = jnp.concatenate(obs)
+        pose_gt = jnp.concatenate(pose_gt)
+        init = jnp.concatenate(init)
+        class_idx = jnp.concatenate(class_idx)
+        ks = jnp.tile(k_cam[None], (n, 1, 1))
     else:
         from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
 

@@ -34,10 +34,13 @@ def load_assets_and_names(cfg, eval_set: bool = False):
     ``eval_set`` selects ``cfg.dataset.eval_objects`` when present (the
     ModelNet unseen-category protocol evaluates meshes not trained on).
     """
-    from deepim_tpu.geometry.symmetry import LINEMOD_SYMMETRIC
+    from deepim_tpu.geometry.symmetry import (
+        LINEMOD_SYMMETRIC, PROCEDURAL_SYMMETRIC, YCB_SYMMETRIC,
+    )
     from deepim_tpu.raster.mesh import PROCEDURAL_MESHES
     from deepim_tpu.refine import build_assets
 
+    sym_table = {**LINEMOD_SYMMETRIC, **YCB_SYMMETRIC, **PROCEDURAL_SYMMETRIC}
     d = cfg.dataset
     names = list(d.eval_objects) if eval_set and d.eval_objects else \
         list(d.objects)
@@ -48,7 +51,7 @@ def load_assets_and_names(cfg, eval_set: bool = False):
 
         ds = LM6DDataset(d.root, names)
         meshes = ds.load_meshes(max_faces=d.max_faces)
-    syms = [LINEMOD_SYMMETRIC.get(n) for n in names]
+    syms = [sym_table.get(n) for n in names]
     assets = build_assets(meshes, sym_transforms=syms,
                           num_points=d.num_points)
     return assets, names, [s is not None for s in syms]

@@ -46,6 +46,11 @@ def sym_set(transforms: np.ndarray | None, max_syms: int) -> np.ndarray:
 # Discrete approximations used by LINEMOD evaluation: eggbox and glue are
 # treated as 2-fold symmetric about z (180°) in the standard protocol.
 LINEMOD_SYMMETRIC = {"eggbox": rot_z_syms(2), "glue": rot_z_syms(2)}
+# Procedural test objects: the torus and cylinder are visually symmetric
+# about z (colors vary only radially / by ring); the icosphere's
+# position-coded colors break its geometric symmetry, so it stays
+# asymmetric.
+PROCEDURAL_SYMMETRIC = {"torus": rot_z_syms(16), "cylinder": rot_z_syms(16)}
 # YCB symmetric classes (evaluated with ADD-S in the reference); continuous
 # symmetries (bowl) are approximated by a dense discrete set.
 YCB_SYMMETRIC = {
