@@ -21,6 +21,9 @@ def parse_args(argv=None):
     p.add_argument("--num-frames", type=int, default=8)
     p.add_argument("--iters-first", type=int, default=4)
     p.add_argument("--iters-rest", type=int, default=2)
+    p.add_argument("--objects-per-seq", type=int, default=1,
+                   help="objects per generated sequence (1 = LM6d-style "
+                        "single-object tracking; 0 = all, YCB-style)")
     return p.parse_args(argv)
 
 
@@ -67,7 +70,8 @@ def main(argv=None):
             gen_video(root, meshes, k_np, image_size,
                       num_frames=args.num_frames,
                       renderer="xla" if jax.devices()[0].platform == "cpu"
-                      else "pallas")
+                      else "pallas",
+                      objects_per_sequence=args.objects_per_seq or None)
     ds = VideoDataset(root, names)
 
     all_est, all_gt, all_cls = [], [], []

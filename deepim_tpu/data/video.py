@@ -122,17 +122,24 @@ class VideoDataset:
 def gen_video(root: str, meshes: dict, k: np.ndarray,
               image_size: tuple[int, int], num_frames: int = 10,
               num_sequences: int = 1, seed: int = 0,
-              renderer: str = "xla") -> VideoDataset:
-    """Generate smooth-trajectory multi-object sequences (toolkit parity:
-    the reference consumes recorded YCB videos; here the framework's own
-    renderer synthesizes them)."""
+              renderer: str = "xla",
+              objects_per_sequence: int | None = None) -> VideoDataset:
+    """Generate smooth-trajectory sequences (toolkit parity: the reference
+    consumes recorded YCB videos; here the framework's own renderer
+    synthesizes them).
+
+    Frames match the training observation domain: randomized lighting and
+    a noise background.  ``objects_per_sequence`` splits the object set
+    into groups per sequence (1 = single-object sequences, the LM6d-style
+    tracking protocol; None = all objects per frame, the YCB-style scene).
+    """
     import jax
     import jax.numpy as jnp
 
     from deepim_tpu.data.pairs import perturb_poses, sample_poses_in_frustum
+    from deepim_tpu.data.synthetic import random_lighting
     from deepim_tpu.geometry.rotations import mat2quat, quat2mat, quat_slerp
     from deepim_tpu.refine import build_assets
-    from deepim_tpu.refine.refiner import render_scene
 
     objects = list(meshes)
     ds = VideoDataset(root, objects)
@@ -140,50 +147,73 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
         ds._frames.write_model(o, meshes[o])
     assets = build_assets([meshes[o] for o in objects], num_points=256)
     kj = jnp.asarray(k, jnp.float32)
-    m = len(objects)
 
+    group = objects_per_sequence or len(objects)
+    groups = [
+        list(range(g, min(g + group, len(objects))))
+        for g in range(0, len(objects), group)
+    ]
+
+    seq_id = 0
     for s in range(num_sequences):
-        key = jax.random.PRNGKey(seed + 101 * s)
-        k0, k1, kn = jax.random.split(key, 3)
-        start = sample_poses_in_frustum(k0, m, kj, image_size,
-                                        z_range=(0.7, 1.1))
-        end = perturb_poses(k1, start, rot_std_deg=25.0, rot_max_deg=60.0,
-                            trans_std=(0.08, 0.08, 0.1),
-                            trans_max=(0.15, 0.15, 0.2))
-        q0 = mat2quat(start[..., :3])
-        q1 = mat2quat(end[..., :3])
-        ts = jnp.linspace(0.0, 1.0, num_frames)
-        poses = []
-        for t in ts:
-            q = quat_slerp(q0, q1, jnp.full((m,), t))
-            tr = (1 - t) * start[..., 3] + t * end[..., 3]
-            poses.append(jnp.concatenate([quat2mat(q), tr[..., None]], -1))
-        poses = jnp.stack(poses)  # (T, M, 3, 4)
+        for members in groups:
+            m = len(members)
+            objs = [objects[i] for i in members]
+            key = jax.random.PRNGKey(seed + 101 * seq_id + 7)
+            k0, k1, kn, kl, kb = jax.random.split(key, 5)
+            start = sample_poses_in_frustum(k0, m, kj, image_size,
+                                            z_range=(0.7, 1.1))
+            end = perturb_poses(k1, start, rot_std_deg=25.0,
+                                rot_max_deg=60.0,
+                                trans_std=(0.08, 0.08, 0.1),
+                                trans_max=(0.15, 0.15, 0.2))
+            q0 = mat2quat(start[..., :3])
+            q1 = mat2quat(end[..., :3])
+            ts = jnp.linspace(0.0, 1.0, num_frames)
+            poses = []
+            for t in ts:
+                q = quat_slerp(q0, q1, jnp.full((m,), t))
+                tr = (1 - t) * start[..., 3] + t * end[..., 3]
+                poses.append(
+                    jnp.concatenate([quat2mat(q), tr[..., None]], -1)
+                )
+            poses = jnp.stack(poses)  # (T, M, 3, 4)
 
-        cls = jnp.arange(m, dtype=jnp.int32)
-        rgbs, depths = [], []
-        for t in range(num_frames):
-            rgb, dep = _render_frame(assets, cls, poses[t], kj, image_size,
-                                     renderer)
-            rgbs.append(rgb)
-            depths.append(dep)
-        inits = perturb_poses(kn, poses[0], rot_std_deg=10.0,
-                              rot_max_deg=30.0, trans_std=(0.01, 0.01, 0.03),
-                              trans_max=(0.03, 0.03, 0.08))
-        ds.write_sequence(
-            f"{s:04d}", [f"{t:06d}" for t in range(num_frames)], objects,
-            np.asarray(jnp.stack(rgbs)), np.asarray(jnp.stack(depths)),
-            np.asarray(poses), np.asarray(inits),
-        )
+            cls = jnp.asarray(members, jnp.int32)
+            light = random_lighting(kl)
+            rgbs, depths = [], []
+            for t in range(num_frames):
+                rgb, dep = _render_frame(assets, cls, poses[t], kj,
+                                         image_size, renderer, light)
+                bg = jax.random.uniform(
+                    jax.random.fold_in(kb, t), rgb.shape
+                )
+                rgb = jnp.where((dep > 0)[..., None], rgb, bg)
+                rgbs.append(rgb)
+                depths.append(dep)
+            inits = perturb_poses(kn, poses[0], rot_std_deg=10.0,
+                                  rot_max_deg=30.0,
+                                  trans_std=(0.01, 0.01, 0.03),
+                                  trans_max=(0.03, 0.03, 0.08))
+            ds.write_sequence(
+                f"{seq_id:04d}", [f"{t:06d}" for t in range(num_frames)],
+                objs, np.asarray(jnp.stack(rgbs)),
+                np.asarray(jnp.stack(depths)), np.asarray(poses),
+                np.asarray(inits),
+            )
+            seq_id += 1
     return ds
 
 
-def _render_frame(assets, cls, poses, k, image_size, renderer):
+def _render_frame(assets, cls, poses, k, image_size, renderer,
+                  lighting=None):
     import jax.numpy as jnp
 
+    from deepim_tpu.raster.raster_xla import FLAT_LIGHTING
     from deepim_tpu.refine import gather_class
     from deepim_tpu.refine.refiner import render_crops, render_scene
 
+    lighting = FLAT_LIGHTING if lighting is None else lighting
     m = cls.shape[0]
     ks1 = k[None]
     if renderer == "xla":
@@ -192,7 +222,7 @@ def _render_frame(assets, cls, poses, k, image_size, renderer):
         for j in range(m):
             ab = gather_class(assets, cls[j : j + 1])
             rgb, dep = render_crops(ab, poses[j : j + 1], ks1, image_size,
-                                    "xla")
+                                    "xla", lighting=lighting)
             rgbs.append(rgb[0])
             deps.append(dep[0])
         rgbs = jnp.stack(rgbs)
@@ -207,6 +237,7 @@ def _render_frame(assets, cls, poses, k, image_size, renderer):
         return jnp.where(hit[..., None], rgb, 0.0), depth
     rgb, depth = render_scene(
         assets, cls[None], poses[None], jnp.ones((1, m), bool), ks1,
-        image_size, interpret=renderer == "pallas_interpret",
+        image_size, lighting=lighting,
+        interpret=renderer == "pallas_interpret",
     )
     return rgb[0], depth[0]
