@@ -248,3 +248,37 @@ def test_gspmd_tp_step_matches_single(assets):
                                rtol=1e-5)
     for a, b in zip(ref_leaves, jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(a, np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_class_agnostic_unseen_objects(assets):
+    """ModelNet protocol: a class-agnostic net trained on one object set
+    refines objects with class indices it never saw (single shared head)."""
+    from deepim_tpu.raster.mesh import cylinder_mesh, torus_mesh
+    from deepim_tpu.refine import refine_poses
+
+    cfg = tiny_cfg()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, network=dataclasses.replace(cfg.network, class_agnostic=True)
+    )
+    model = make_model(cfg, 2)
+    assert model.num_classes == 1
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    # one train step on the train objects
+    batch = synthetic_batch(jax.random.PRNGKey(1), assets, 8, K_CAM, (H, W),
+                            renderer="xla")
+    state, metrics = make_train_step(model, assets, cfg)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # refine UNSEEN objects (new asset set, class indices 0/1)
+    unseen = build_assets([cylinder_mesh(), torus_mesh()], num_points=64)
+    obs = jax.random.uniform(jax.random.PRNGKey(2), (2, H, W, 3))
+    init_p = jnp.stack([
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [0.7]])], 1)
+    ] * 2)
+    out = refine_poses(
+        state.params, model, unseen, obs, init_p,
+        jnp.tile(K_CAM[None], (2, 1, 1)), jnp.array([0, 1]),
+        num_iters=1, out_size=(H, W), renderer="xla",
+    )
+    assert out.shape == (2, 3, 4) and np.isfinite(np.asarray(out)).all()
