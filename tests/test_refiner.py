@@ -127,3 +127,39 @@ def test_refine_matches_pallas_interpret(assets):
                          num_iters=1, out_size=(H, W),
                          renderer="pallas_interpret")
     np.testing.assert_allclose(p_xla, p_pal, atol=1e-4)
+
+
+def test_multi_hypothesis_selects_best(assets):
+    """The agreement score ranks the GT pose above a far-off pose, and the
+    multi-hypothesis refiner returns hypothesis-0 results for an
+    identity net (all hypotheses equal-scored except pose differences)."""
+    from deepim_tpu.refine.hypotheses import (
+        refine_multi_hypothesis, score_poses,
+    )
+    from deepim_tpu.refine import gather_class
+    from deepim_tpu.refine.refiner import render_crops
+
+    cls = jnp.array([0, 1])
+    ab = gather_class(assets, cls)
+    gt = jnp.stack([_pose(0.3), _pose(-0.2, tx=0.05)])
+    # K whose principal point lies inside the small (96, 160) test frame
+    k_small = jnp.array([[150.0, 0, 80], [0, 150.0, 48], [0, 0, 1]])
+    k = jnp.tile(k_small[None], (2, 1, 1))
+    # observed = render at GT
+    obs, _ = render_crops(ab, gt, k, (96, 160), "xla")
+
+    far = gt.at[:, :, 3].add(jnp.array([0.06, 0.0, 0.2]))
+    s_gt = score_poses(ab, obs, gt, k, (H, W), "xla")
+    s_far = score_poses(ab, obs, far, k, (H, W), "xla")
+    assert (np.asarray(s_gt) > np.asarray(s_far)).all()
+
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    best, scores = refine_multi_hypothesis(
+        variables, model, assets, obs, gt, k, cls, jax.random.PRNGKey(3),
+        num_hypotheses=3, num_iters=1, out_size=(H, W), renderer="xla",
+    )
+    assert best.shape == (2, 3, 4) and scores.shape == (2, 3)
+    # identity net: hypothesis 0 (exact GT init) must win
+    np.testing.assert_allclose(np.asarray(best), np.asarray(gt), atol=1e-4)
