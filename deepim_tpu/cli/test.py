@@ -22,6 +22,9 @@ def parse_args(argv=None):
                    help="synthetic eval set size (0 = 8*batch)")
     p.add_argument("--no-refine", action="store_true",
                    help="evaluate the init poses only (baseline row)")
+    p.add_argument("--hypotheses", type=int, default=1,
+                   help=">1: multi-hypothesis refinement with render-"
+                        "agreement selection (occlusion protocol)")
     return p.parse_args(argv)
 
 
@@ -145,6 +148,18 @@ def main(argv=None):
         sl = slice(i, i + bs)
         if args.no_refine:
             trajs.append(jnp.tile(init[sl][None], (2, 1, 1, 1)))
+            continue
+        if args.hypotheses > 1:
+            from deepim_tpu.refine import refine_multi_hypothesis
+
+            best, _ = refine_multi_hypothesis(
+                state.params, model, assets, obs[sl], init[sl], ks[sl],
+                class_idx[sl], jax.random.PRNGKey(17 + i),
+                num_hypotheses=args.hypotheses,
+                num_iters=cfg.test.test_iter, out_size=out_size,
+                renderer=cfg.test.renderer,
+            )
+            trajs.append(jnp.stack([init[sl], best]))
             continue
         trajs.append(
             refine_poses(

@@ -12,4 +12,7 @@ from deepim_tpu.refine.refiner import (
     refine_poses,
     refine_step,
     render_crops,
+    render_scene,
 )
+from deepim_tpu.refine.hypotheses import refine_multi_hypothesis, score_poses
+from deepim_tpu.refine.video import refine_video
