@@ -11,3 +11,8 @@ from deepim_tpu.parallel.mesh import (
     shard_batch,
     shard_params_for_tp,
 )
+from deepim_tpu.parallel.distributed import (
+    global_mesh,
+    initialize_multihost,
+    process_local_batch_size,
+)
