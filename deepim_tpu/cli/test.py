@@ -52,7 +52,9 @@ def main(argv=None):
     assets, names, symmetric = load_assets_and_names(cfg, eval_set=True)
     # class-aware heads are sized by the TRAINING class set; with
     # class_agnostic there is one shared head and eval classes may differ.
-    train_assets_classes = len(cfg.dataset.objects)
+    train_assets_classes = (cfg.dataset.zoo_size
+                            if cfg.dataset.name == "modelnet"
+                            else len(cfg.dataset.objects))
     model = make_model(cfg, train_assets_classes)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
     if latest_step(ckpt_dir) is not None:
@@ -94,7 +96,7 @@ def main(argv=None):
         init = jnp.concatenate(init)
         class_idx = jnp.concatenate(class_idx)
         ks = jnp.tile(k_cam[None], (n, 1, 1))
-    elif d.name.startswith("synthetic"):
+    elif d.name.startswith("synthetic") or d.name == "modelnet":
         # Observed frames come from the SAME generator as training
         # (randomized lighting, noise background) — the eval distribution
         # must match the train distribution, only the seeds differ.

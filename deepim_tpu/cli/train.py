@@ -44,14 +44,29 @@ def load_assets_and_names(cfg, eval_set: bool = False):
     d = cfg.dataset
     names = list(d.eval_objects) if eval_set and d.eval_objects else \
         list(d.objects)
-    if d.name.startswith("synthetic"):
+    if d.name == "modelnet" and not (eval_set and d.eval_objects):
+        # ModelNet protocol: train on a randomized procedural shape zoo.
+        from deepim_tpu.raster.mesh import random_mesh_zoo
+
+        zoo = random_mesh_zoo(d.zoo_size, d.zoo_seed)
+        names = list(zoo)
+        meshes = [zoo[n] for n in names]
+    elif d.name.startswith("synthetic") or d.name == "modelnet":
         meshes = [PROCEDURAL_MESHES[n]() for n in names]
     else:
         from deepim_tpu.data.lm6d import LM6DDataset
 
         ds = LM6DDataset(d.root, names)
         meshes = ds.load_meshes(max_faces=d.max_faces)
-    syms = [sym_table.get(n) for n in names]
+    # zoo cylinders/tori are z-symmetric like their canonical versions
+    from deepim_tpu.geometry.symmetry import rot_z_syms
+
+    def sym_for(n):
+        if n.startswith(("zoo_cyl", "zoo_torus")):
+            return rot_z_syms(16)
+        return sym_table.get(n)
+
+    syms = [sym_for(n) for n in names]
     assets = build_assets(meshes, sym_transforms=syms,
                           num_points=d.num_points)
     return assets, names, [s is not None for s in syms]

@@ -89,6 +89,11 @@ class DatasetConfig:
     # network.class_agnostic reproduce the reference's ModelNet
     # unseen-category protocol (refine meshes never seen in training).
     eval_objects: tuple = ()
+    # ModelNet-protocol shape zoo (dataset.name == "modelnet"): train on
+    # zoo_size random-parameter procedural meshes, evaluate on eval_objects
+    # (category-level generalization needs many training shapes).
+    zoo_size: int = 24
+    zoo_seed: int = 0
     image_height: int = 480
     image_width: int = 640
     # Default LINEMOD intrinsics (the reference's LM6d K).

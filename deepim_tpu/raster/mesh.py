@@ -207,6 +207,43 @@ PROCEDURAL_MESHES = {
 }
 
 
+def random_mesh_zoo(n: int, seed: int = 0) -> dict[str, Mesh]:
+    """n random-parameter procedural meshes — the ModelNet-protocol shape
+    zoo (unseen-category generalization needs MANY training shapes;
+    reference trains on hundreds of ModelNet categories).
+
+    Shapes cycle through the four families with randomized dimensions,
+    colors, and (for boxes) per-face palettes.
+    """
+    rng = np.random.RandomState(seed)
+    zoo: dict[str, Mesh] = {}
+    for i in range(n):
+        kind = i % 4
+        color = tuple(0.25 + 0.75 * rng.rand(3))
+        if kind == 0:
+            size = tuple(0.04 + 0.12 * rng.rand(3))
+            face_colors = [tuple(0.2 + 0.8 * rng.rand(3)) for _ in range(6)]
+            m = box_mesh(size, face_colors=face_colors)
+            name = f"zoo_box_{i:03d}"
+        elif kind == 1:
+            m = icosphere_mesh(0.03 + 0.04 * rng.rand(), subdivisions=2,
+                               color=color)
+            name = f"zoo_sphere_{i:03d}"
+        elif kind == 2:
+            m = cylinder_mesh(0.02 + 0.03 * rng.rand(),
+                              0.06 + 0.1 * rng.rand(),
+                              segments=int(12 + 16 * rng.rand()),
+                              color=color)
+            name = f"zoo_cyl_{i:03d}"
+        else:
+            r_mj = 0.03 + 0.04 * rng.rand()
+            m = torus_mesh(r_mj, 0.25 * r_mj + 0.015 * rng.rand(),
+                           color=color)
+            name = f"zoo_torus_{i:03d}"
+        zoo[name] = m
+    return zoo
+
+
 # ---------------------------------------------------------------------------
 # PLY IO (LINEMOD/YCB model format). ASCII and binary_little_endian.
 # ---------------------------------------------------------------------------
