@@ -85,7 +85,7 @@ def main(argv=None):
         init_state, make_model, make_synthetic_train_step,
     )
     from deepim_tpu.train.checkpoint import (
-        latest_step, restore_checkpoint, save_checkpoint,
+        clear_checkpoints, latest_step, restore_checkpoint, save_checkpoint,
     )
 
     cfg = update_config(args.cfg)
@@ -116,6 +116,10 @@ def main(argv=None):
         state = restore_checkpoint(ckpt_dir, state)
         start_step = int(state.step)
         print(f"resumed from step {start_step}")
+    elif latest_step(ckpt_dir) is not None:
+        print("fresh run: clearing stale checkpoints "
+              "(pass --resume to continue them)")
+        clear_checkpoints(ckpt_dir)
 
     d = cfg.dataset
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)

@@ -29,9 +29,24 @@ def save_checkpoint(ckpt_dir: str, state: TrainState,
                     max_to_keep: int = 3) -> None:
     mgr = _manager(ckpt_dir, max_to_keep)
     step = int(jax.device_get(state.step))
-    mgr.save(step, args=ocp.args.StandardSave(state))
+    # Overwrite semantics: without this, the manager SILENTLY SKIPS steps
+    # that already exist from a previous run in the same dir (a fresh run
+    # whose dir wasn't cleared would appear to train but keep the old
+    # weights) — and force=True raises StepAlreadyExistsError instead.
+    if step in mgr.all_steps():
+        mgr.delete(step)
+    mgr.save(step, args=ocp.args.StandardSave(state), force=True)
     mgr.wait_until_finished()
     mgr.close()
+
+
+def clear_checkpoints(ckpt_dir: str) -> None:
+    """Remove a checkpoint dir (fresh, non-resumed runs must start clean —
+    see save_checkpoint's force note)."""
+    import shutil
+
+    if os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
 
 
 def latest_step(ckpt_dir: str) -> int | None:

@@ -282,3 +282,29 @@ def test_class_agnostic_unseen_objects(assets):
         num_iters=1, out_size=(H, W), renderer="xla",
     )
     assert out.shape == (2, 3, 4) and np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_force_overwrites(assets, tmp_path):
+    """Saving the same step twice keeps the LATEST weights (orbax silently
+    skips existing steps without force=True — regression for a real bug
+    where a fresh run appeared to train but kept old weights)."""
+    from deepim_tpu.train.checkpoint import (
+        clear_checkpoints, restore_checkpoint, save_checkpoint,
+    )
+
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    s1 = init_state(cfg, model, jax.random.PRNGKey(0))
+    s2 = init_state(cfg, model, jax.random.PRNGKey(42))
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, s1)
+    save_checkpoint(d, s2)  # same step 0, different weights
+    got = restore_checkpoint(d, init_state(cfg, model, jax.random.PRNGKey(7)))
+    a = np.asarray(jax.tree.leaves(got.params)[0])
+    np.testing.assert_array_equal(
+        a, np.asarray(jax.tree.leaves(s2.params)[0])
+    )
+    clear_checkpoints(d)
+    import os as _os
+
+    assert not _os.path.isdir(d)
