@@ -37,11 +37,10 @@ def main(argv=None):
 
     from deepim_tpu.cli.train import load_assets_and_names
     from deepim_tpu.config import update_config
-    from deepim_tpu.data.pairs import perturb_poses, sample_poses_in_frustum
+    from deepim_tpu.data.pairs import perturb_poses
     from deepim_tpu.eval import evaluate_poses, format_table
     from deepim_tpu.raster.camera import make_intrinsics
-    from deepim_tpu.refine import gather_class, refine_poses
-    from deepim_tpu.refine.refiner import render_crops
+    from deepim_tpu.refine import refine_poses
     from deepim_tpu.train import init_state, make_model
     from deepim_tpu.train.checkpoint import latest_step, restore_checkpoint
 

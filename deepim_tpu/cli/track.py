@@ -38,7 +38,6 @@ def main(argv=None):
     from deepim_tpu.config import update_config
     from deepim_tpu.data.video import VideoDataset, gen_video
     from deepim_tpu.eval import evaluate_poses, format_table
-    from deepim_tpu.raster.camera import make_intrinsics
     from deepim_tpu.raster.mesh import PROCEDURAL_MESHES
     from deepim_tpu.refine.video import refine_video
     from deepim_tpu.train import init_state, make_model

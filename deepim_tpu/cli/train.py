@@ -76,7 +76,6 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from deepim_tpu.config import save_config, update_config
     from deepim_tpu.parallel import make_mesh
