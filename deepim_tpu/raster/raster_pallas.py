@@ -251,6 +251,299 @@ def bin_faces_sorted(bbox, face_ok, image_size, tile,
     return vals_s, starts, glob
 
 
+def bin_faces_packed(bbox, face_ok, image_size, tile,
+                     sy_span: int, sx_span: int, global_cap: int):
+    """Column-major packed-key binning for the column raster kernel.
+
+    Improvements over :func:`bin_faces_sorted` (both feed lossless
+    sort-binned kernels):
+
+    - **Column-major tile ids** (``t = tx * TY + ty``): all sub-tiles of
+      one 128-px image column occupy one contiguous range of the sorted
+      array, so the kernel issues ONE large DMA per (sample, column)
+      instead of one small DMA per tile.
+    - **Single packed int32 key** ``(tile_id << shift) | slot`` replaces
+      the key/value sort — one sorted operand instead of two, and the
+      face id is recovered as ``(key & mask) // S`` (slot = face*S + k).
+
+    Returns (face_ids (F*S,) int32 sorted by tile, starts (T+1,) int32,
+    glob_ids (global_cap,) int32, gcount () int32).
+    """
+    h, w = image_size
+    th, tw = tile
+    ty = pl.cdiv(h, th)
+    tx = pl.cdiv(w, tw)
+    t_total = ty * tx
+    f = bbox.shape[0]
+    s = sy_span * sx_span
+    n = f * s
+    shift = max(int(n - 1).bit_length(), 1)
+    assert (t_total << shift) < 2**31, "packed key overflows int32"
+
+    umin, umax = bbox[:, 0], bbox[:, 1]
+    vmin, vmax = bbox[:, 2], bbox[:, 3]
+    tx0 = jnp.clip(jnp.floor(umin / tw), 0, tx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(umax / tw), 0, tx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(vmin / th), 0, ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(vmax / th), 0, ty - 1).astype(jnp.int32)
+    onscreen = face_ok & (umax >= 0) & (umin <= w) & (vmax >= 0) & (vmin <= h)
+    small = onscreen & (tx1 - tx0 < sx_span) & (ty1 - ty0 < sy_span)
+
+    dy = (jnp.arange(s, dtype=jnp.int32) // sx_span)[None, :]
+    dx = (jnp.arange(s, dtype=jnp.int32) % sx_span)[None, :]
+    tyc = ty0[:, None] + dy
+    txc = tx0[:, None] + dx
+    valid = small[:, None] & (tyc <= ty1[:, None]) & (txc <= tx1[:, None])
+    tid = jnp.where(valid, txc * ty + tyc, t_total)  # COLUMN-major
+    slot = jnp.arange(n, dtype=jnp.int32).reshape(f, s)
+    packed = jnp.where(valid, (tid << shift) | slot,
+                       (t_total << shift) | slot).reshape(-1)
+    packed = jnp.sort(packed)
+    bounds = (jnp.arange(t_total + 1, dtype=jnp.int32) << shift)
+    starts = jnp.searchsorted(packed, bounds).astype(jnp.int32)
+    face_ids = ((packed & ((1 << shift) - 1)) // s).astype(jnp.int32)
+
+    # Global (big-bbox) faces, grouped PER COLUMN so the kernel only pays
+    # for the columns a big face actually touches: a second tiny packed
+    # sort over (global_cap, TX) emissions.
+    gkey = jnp.where(onscreen & ~small, jnp.arange(f, dtype=jnp.int32), f)
+    gkey = jnp.concatenate(  # pad: meshes may have fewer faces than the cap
+        [gkey, jnp.full((global_cap,), f, jnp.int32)]
+    )
+    gsort = jnp.sort(gkey)[:global_cap]
+    gvalid = gsort < f
+    gids = jnp.where(gvalid, gsort, 0)
+    gtx0 = jnp.where(gvalid, tx0[gids], tx)
+    gtx1 = jnp.where(gvalid, tx1[gids], -1)
+    n2 = global_cap * tx
+    shift2 = max(int(n2 - 1).bit_length(), 1)
+    cols = jnp.arange(tx, dtype=jnp.int32)[None, :]
+    hit = (gtx0[:, None] <= cols) & (cols <= gtx1[:, None])
+    slot2 = jnp.arange(n2, dtype=jnp.int32).reshape(global_cap, tx)
+    key2 = jnp.where(hit, (cols << shift2) | slot2,
+                     (tx << shift2) | slot2).reshape(-1)
+    key2 = jnp.sort(key2)
+    gstarts = jnp.searchsorted(
+        key2, jnp.arange(tx + 1, dtype=jnp.int32) << shift2
+    ).astype(jnp.int32)
+    gid_sorted = gids[(key2 & ((1 << shift2) - 1)) // tx]
+    # Layout: [gstarts (TX+1) | ids (G*TX) | 8 zero pad for block tails].
+    glob_col = jnp.concatenate(
+        [gstarts, gid_sorted, jnp.zeros((8,), jnp.int32)]
+    )
+    return face_ids, starts, glob_col
+
+
+def _face_block(p8, px, py, z, r, g, b):
+    """Depth-test 8 faces (rows of p8 (8, 24)) against one (8, 128) sub-tile.
+
+    All dense vector math — no scalar reads: plane evals broadcast the
+    (8,)-face coefficient axis against the (8, 128) pixel tile as
+    (8, 8, 128) ops; the z-resolve unrolls the 8 faces as single-vreg
+    selects.  Zero-parameter rows (padding / culled faces) are exact
+    no-ops: their inv-z plane evaluates to 0 which never beats the
+    z-buffer, so block alignment slop needs no masking.
+    """
+    def c3(i):
+        return p8[:, i][:, None, None]
+
+    px3 = px[None, :, :]
+    py3 = py[None, :, :]
+    l0 = c3(0) * px3 + c3(1) * py3 + c3(2)
+    l1 = c3(3) * px3 + c3(4) * py3 + c3(5)
+    l2 = c3(6) * px3 + c3(7) * py3 + c3(8)
+    iz = c3(9) * px3 + c3(10) * py3 + c3(11)
+    score = jnp.where((l0 >= 0) & (l1 >= 0) & (l2 >= 0), iz, 0.0)
+    rn = c3(12) * px3 + c3(13) * py3 + c3(14)
+    gn = c3(15) * px3 + c3(16) * py3 + c3(17)
+    bn = c3(18) * px3 + c3(19) * py3 + c3(20)
+    for f in range(8):
+        sf = score[f]
+        upd = sf > z
+        z = jnp.where(upd, sf, z)
+        r = jnp.where(upd, rn[f], r)
+        g = jnp.where(upd, gn[f], g)
+        b = jnp.where(upd, bn[f], b)
+    return z, r, g, b
+
+
+def _raster_kernel_cols(starts_smem, glob_smem, ids_hbm, params_ref,
+                        rgb_ref, depth_ref,
+                        ids_smem, p8s, zsc, rsc, gsc, bsc, dma_sem,
+                        *, n_subs, cap, g_max):
+    """Column raster kernel: grid (B, X columns of 128 px).
+
+    Each step owns a full (n_subs*8, 128) image column.  The sorted face
+    ids of its n_subs (8, 128) sub-tiles are CONTIGUOUS (column-major tile
+    ids), so each round DMAs one 128-aligned id window into SMEM; each
+    8-face block is assembled from the per-sample params block with 8
+    dynamic-sublane vector loads and rasterized densely
+    (:func:`_face_block`) — no per-coefficient scalar reads.
+    """
+    bi = pl.program_id(0)
+    xi = pl.program_id(1)
+    t0 = xi * n_subs
+    col_s = starts_smem[bi, t0]
+    col_e = starts_smem[bi, t0 + n_subs]
+
+    px = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(
+        jnp.float32) + (xi * 128).astype(jnp.float32) + 0.5
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(
+        jnp.float32) + 0.5
+
+    zsc[:] = jnp.zeros_like(zsc)
+    rsc[:] = jnp.zeros_like(rsc)
+    gsc[:] = jnp.zeros_like(gsc)
+    bsc[:] = jnp.zeros_like(bsc)
+
+    def assemble(read_id):
+        """8 id reads + 8 dynamic-sublane param-row copies -> (8, 24)."""
+        for u in range(8):
+            p8s[u, :] = params_ref[0, read_id(u), :]
+        return p8s[:, :]
+
+    wb0 = (col_s // cap) * cap  # cap is a multiple of 128: aligned windows
+    rounds = jnp.where(col_e > col_s, (col_e - wb0 + cap - 1) // cap, 0)
+
+    def round_body(rd, _):
+        wb = wb0 + rd * cap
+        dma = pltpu.make_async_copy(
+            ids_hbm.at[bi, pl.ds(wb // 128, cap // 128)], ids_smem, dma_sem
+        )
+        dma.start()
+        dma.wait()
+
+        def sub_body(si, _):
+            sstart = starts_smem[bi, t0 + si]
+            send = starts_smem[bi, t0 + si + 1]
+            lo = jnp.maximum((sstart // 8) * 8, wb)
+            hi = jnp.minimum(send, wb + cap)
+            nb = jnp.maximum((hi - lo + 7) // 8, 0)
+
+            @pl.when(nb > 0)
+            def _():
+                py = row_iota + (si * 8).astype(jnp.float32)
+                off = pl.multiple_of(si * 8, 8)
+                carry = (zsc[pl.ds(off, 8), :], rsc[pl.ds(off, 8), :],
+                         gsc[pl.ds(off, 8), :], bsc[pl.ds(off, 8), :])
+
+                def blk(jb, cr):
+                    base = lo - wb + jb * 8
+                    p8 = assemble(
+                        lambda u: ids_smem[(base + u) // 128, (base + u) % 128]
+                    )
+                    return _face_block(p8, px, py, *cr)
+
+                z, r, g, b = jax.lax.fori_loop(0, nb, blk, carry)
+                zsc[pl.ds(off, 8), :] = z
+                rsc[pl.ds(off, 8), :] = r
+                gsc[pl.ds(off, 8), :] = g
+                bsc[pl.ds(off, 8), :] = b
+
+            return 0
+
+        jax.lax.fori_loop(0, n_subs, sub_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, rounds, round_body, 0)
+
+    # Global (big-bbox) faces, restricted to THIS column's list (tail
+    # blocks read into the next column's ids — harmless re-evals).
+    n_cols = pl.num_programs(1)
+    gs = glob_smem[bi, xi]
+    ge = glob_smem[bi, xi + 1]
+    ngb = jnp.maximum((ge - gs + 7) // 8, 0)
+
+    @pl.when(ngb > 0)
+    def _():
+        def sub_g(si, _):
+            py = row_iota + (si * 8).astype(jnp.float32)
+            off = pl.multiple_of(si * 8, 8)
+            carry = (zsc[pl.ds(off, 8), :], rsc[pl.ds(off, 8), :],
+                     gsc[pl.ds(off, 8), :], bsc[pl.ds(off, 8), :])
+
+            def blk(jb, cr):
+                base = n_cols + 1 + gs + jb * 8
+                p8 = assemble(lambda u: glob_smem[bi, base + u])
+                return _face_block(p8, px, py, *cr)
+
+            z, r, g, b = jax.lax.fori_loop(0, ngb, blk, carry)
+            zsc[pl.ds(off, 8), :] = z
+            rsc[pl.ds(off, 8), :] = r
+            gsc[pl.ds(off, 8), :] = g
+            bsc[pl.ds(off, 8), :] = b
+            return 0
+
+        jax.lax.fori_loop(0, n_subs, sub_g, 0)
+
+    hit = zsc[:] > 0
+    inv = 1.0 / jnp.maximum(zsc[:], 1e-9)
+    depth_ref[0] = jnp.where(hit, inv, 0.0)
+    rgb_ref[0, 0] = rsc[:] * inv
+    rgb_ref[0, 1] = gsc[:] * inv
+    rgb_ref[0, 2] = bsc[:] * inv
+
+
+def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
+                             sy_span: int = 6, sx_span: int = 2,
+                             global_cap: int = 120, cap: int = 2048):
+    """Column-kernel launch (sorted ids + VMEM params, one DMA/column)."""
+    b, f = params.shape[0], params.shape[1]
+    h, w = image_size
+    n_subs = pl.cdiv(h, 8)
+    n_cols = pl.cdiv(w, 128)
+    hp, wp = n_subs * 8, n_cols * 128
+
+    face_ids, starts, glob = jax.vmap(
+        lambda bb, ok: bin_faces_packed(bb, ok, image_size, (8, 128),
+                                        sy_span, sx_span, global_cap)
+    )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, TX+1 + G*TX + 8)
+
+    # Pad ids so any cap-aligned window stays in bounds; pad id 0 → real
+    # face-0 params, harmless (a face is a geometric no-op in any tile its
+    # triangle doesn't cover, and re-evals are idempotent under the strict
+    # z-test).
+    ns = face_ids.shape[1]
+    nr = (pl.cdiv(ns, cap) + 1) * cap
+    ids_p = jnp.zeros((b, nr), jnp.int32).at[:, :ns].set(face_ids)
+    ids_p = ids_p.reshape(b, nr // 128, 128)
+
+    kernel = functools.partial(_raster_kernel_cols, n_subs=n_subs, cap=cap,
+                               g_max=global_cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_cols),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted ids (HBM)
+            pl.BlockSpec((1, f, 24), lambda bi, xi, *_: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, hp, 128), lambda bi, xi, *_: (bi, 0, 0, xi)),
+            pl.BlockSpec((1, hp, 128), lambda bi, xi, *_: (bi, 0, xi)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((cap // 128, 128), jnp.int32),
+            pltpu.VMEM((8, 24), jnp.float32),
+            pltpu.VMEM((hp, 128), jnp.float32),
+            pltpu.VMEM((hp, 128), jnp.float32),
+            pltpu.VMEM((hp, 128), jnp.float32),
+            pltpu.VMEM((hp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    rgb, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, glob, ids_p, params)
+    return (jnp.transpose(rgb[:, :, :h, :w], (0, 2, 3, 1)),
+            depth[:, :h, :w])
+
+
 def _raster_kernel_sorted(starts_smem, glob_smem, vals_hbm, params_ref,
                           rgb_ref, depth_ref,
                           zbuf, rbuf, gbuf, bbuf, ids_smem, dma_sem,
@@ -469,6 +762,9 @@ def render_batch(
             )
         )
         params, bbox, face_ok = pack(poses, ks)
+    if binning == "cols":
+        return _render_from_params_cols(params, bbox, face_ok, image_size,
+                                        interpret)
     return _render_from_params(params, bbox, face_ok, image_size, tile,
                                max_faces_per_tile, interpret)
 
@@ -504,6 +800,9 @@ def render_batch_tri(
         )
     )
     params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses, ks)
+    if binning == "cols":
+        return _render_from_params_cols(params, bbox, face_ok, image_size,
+                                        interpret)
     if binning == "sort":
         return _render_from_params_sorted(params, bbox, face_ok, image_size,
                                           tile, interpret)

@@ -37,11 +37,11 @@ def _poses(n, seed=0, z=0.5):
     return jax.vmap(se3_from_rt)(rs, ts)
 
 
-def _compare(mesh, poses, lighting=None, atol_frac=0.002):
+def _compare(mesh, poses, lighting=None, atol_frac=0.002, binning="sort"):
     kwargs = {} if lighting is None else {"lighting": lighting}
     ks = jnp.tile(K, (poses.shape[0], 1, 1))
     rgb_p, d_p = render_batch(*_args(mesh), poses, ks, (H, W),
-                              interpret=True, **kwargs)
+                              interpret=True, binning=binning, **kwargs)
     oracle = jax.vmap(
         lambda p: render_mesh(*_args(mesh), p, K, (H, W), **kwargs)
     )
@@ -83,6 +83,31 @@ def test_per_sample_intrinsics():
     o2, d2 = render_mesh(*_args(m), poses[1], k2, (H, W))
     assert np.isclose(np.asarray(depth[0]), np.asarray(d1), atol=1e-3).mean() > 0.998
     assert np.isclose(np.asarray(depth[1]), np.asarray(d2), atol=1e-3).mean() > 0.998
+
+
+def test_cols_box_matches_oracle():
+    _compare(box_mesh(size=(0.15, 0.12, 0.1)), _poses(2), binning="cols")
+
+
+def test_cols_torus_matches_oracle():
+    _compare(torus_mesh(), _poses(2, seed=2, z=0.4), binning="cols")
+
+
+def test_cols_lighting_matches_oracle():
+    lit = Lighting(ambient=jnp.float32(0.3), diffuse=jnp.float32(0.7),
+                   direction=jnp.array([0.3, -0.2, -1.0]))
+    _compare(icosphere_mesh(radius=0.08, subdivisions=2), _poses(2, seed=3),
+             lit, binning="cols")
+
+
+def test_cols_non_tile_aligned_image():
+    m = icosphere_mesh(radius=0.08, subdivisions=1)
+    poses = _poses(1, seed=6)
+    rgb, depth = render_batch(*_args(m), poses, K[None], (50, 70),
+                              interpret=True, binning="cols")
+    assert rgb.shape == (1, 50, 70, 3)
+    o, d = render_mesh(*_args(m), poses[0], K, (50, 70))
+    assert np.isclose(np.asarray(depth[0]), np.asarray(d), atol=1e-3).mean() > 0.998
 
 
 def test_non_tile_aligned_image():
