@@ -92,15 +92,25 @@ def _plane_pack(xy, z, col, face_ok):
     rows += [zero, zero, zero]
 
     okf = face_ok.astype(x0.dtype)
-    params = jnp.stack([r * okf for r in rows], axis=0).T  # (F, 24)
-    bbox = jnp.stack(
-        [
-            jnp.minimum(jnp.minimum(x0, x1), x2),
-            jnp.maximum(jnp.maximum(x0, x1), x2),
-            jnp.minimum(jnp.minimum(y0, y1), y2),
-            jnp.maximum(jnp.maximum(y0, y1), y2),
-        ],
-        axis=0,
+    # Stack coefficient-major (24, F) — dense lanes, no padding — pin it
+    # as a real buffer, then transpose once.  Stacking straight to (F, 24)
+    # (or .T without the barrier) makes XLA materialize every row as an
+    # (F, 1)-shaped concat operand whose unit dim is lane-padded 1 -> 128:
+    # 128x memory, OOMs at F~20k B=64.
+    stacked = jax.lax.optimization_barrier(
+        jnp.stack([r * okf for r in rows], axis=0)
+    )
+    params = stacked.T  # (F, 24)
+    bbox = jax.lax.optimization_barrier(
+        jnp.stack(
+            [
+                jnp.minimum(jnp.minimum(x0, x1), x2),
+                jnp.maximum(jnp.maximum(x0, x1), x2),
+                jnp.minimum(jnp.minimum(y0, y1), y2),
+                jnp.maximum(jnp.maximum(y0, y1), y2),
+            ],
+            axis=0,
+        )
     ).T  # (F, 4)
     return params, bbox, face_ok
 
@@ -540,8 +550,70 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
         ],
         interpret=interpret,
     )(starts, glob, ids_p, params)
-    return (jnp.transpose(rgb[:, :, :h, :w], (0, 2, 3, 1)),
-            depth[:, :h, :w])
+    return rgb[:, :, :h, :w], depth[:, :h, :w]
+
+
+# Above this face budget the kernels' VMEM-resident (F, 24) param table
+# (lane-padded to 128) exceeds scoped VMEM; render in face chunks and
+# z-merge (exact: strict 1/z test, background = 0).
+_FACE_CHUNK = 12288
+# Crossover measured on v5e (tools/profile_raster.py): the column kernel's
+# dense 8-face blocks win once tiles are crowded; the big-tile sorted
+# kernel wins for small face budgets.
+_COLS_MIN_FACES = 4096
+
+
+def _zmerge_nchw(a, b):
+    """Merge two (rgb NCHW, depth) renders by the closer non-bg depth.
+
+    Runs on the kernels' native (B, 3, H, W) output — merging after the
+    NHWC transpose makes XLA materialize channel-minor temps lane-padded
+    3 -> 128 (~40x memory).
+    """
+    (rgb_a, d_a), (rgb_b, d_b) = a, b
+    take_b = (d_b > 0) & ((d_a == 0) | (d_b < d_a))
+    return (jnp.where(take_b[:, None], rgb_b, rgb_a),
+            jnp.where(take_b, d_b, d_a))
+
+
+def _render_dispatch(params, bbox, face_ok, image_size, tile,
+                     max_faces_per_tile, interpret, binning):
+    """Pick a kernel (auto by face budget) and chunk faces past the VMEM cap.
+
+    All internal paths return (rgb (B, 3, H, W), depth (B, H, W)); the
+    NHWC transpose happens once here.
+    """
+    f = params.shape[1]
+    if f > _FACE_CHUNK:
+        out = None
+        for c0 in range(0, f, _FACE_CHUNK):
+            c1 = min(c0 + _FACE_CHUNK, f)
+            part = _render_chunk(
+                params[:, c0:c1], bbox[:, c0:c1], face_ok[:, c0:c1],
+                image_size, tile, max_faces_per_tile, interpret, binning,
+            )
+            out = part if out is None else _zmerge_nchw(out, part)
+    else:
+        out = _render_chunk(params, bbox, face_ok, image_size, tile,
+                            max_faces_per_tile, interpret, binning)
+    rgb, depth = out
+    return jnp.transpose(rgb, (0, 2, 3, 1)), depth
+
+
+def _render_chunk(params, bbox, face_ok, image_size, tile,
+                  max_faces_per_tile, interpret, binning):
+    """One ≤ _FACE_CHUNK kernel launch -> (rgb NCHW, depth)."""
+    f = params.shape[1]
+    if binning == "auto":
+        binning = "cols" if f >= _COLS_MIN_FACES else "sort"
+    if binning == "cols":
+        return _render_from_params_cols(params, bbox, face_ok, image_size,
+                                        interpret)
+    if binning == "sort":
+        return _render_from_params_sorted(params, bbox, face_ok, image_size,
+                                          tile, interpret)
+    return _render_from_params(params, bbox, face_ok, image_size, tile,
+                               max_faces_per_tile, interpret)
 
 
 def _raster_kernel_sorted(starts_smem, glob_smem, vals_hbm, params_ref,
@@ -731,7 +803,7 @@ def render_batch(
     tile: tuple[int, int] = (32, 256),
     max_faces_per_tile: int = 512,
     interpret: bool = False,
-    binning: str = "sort",  # "sort" (lossless) | "topk" (capped legacy)
+    binning: str = "auto",  # auto | sort | cols | topk (capped legacy)
 ) -> tuple[jax.Array, jax.Array]:
     """Rasterize a batch of hypotheses → (rgb (B, H, W, 3), depth (B, H, W)).
 
@@ -762,11 +834,8 @@ def render_batch(
             )
         )
         params, bbox, face_ok = pack(poses, ks)
-    if binning == "cols":
-        return _render_from_params_cols(params, bbox, face_ok, image_size,
-                                        interpret)
-    return _render_from_params(params, bbox, face_ok, image_size, tile,
-                               max_faces_per_tile, interpret)
+    return _render_dispatch(params, bbox, face_ok, image_size, tile,
+                            max_faces_per_tile, interpret, binning)
 
 
 @functools.partial(
@@ -786,7 +855,7 @@ def render_batch_tri(
     tile: tuple[int, int] = (32, 256),
     max_faces_per_tile: int = 512,
     interpret: bool = False,
-    binning: str = "sort",  # "sort" (lossless) | "topk" (capped legacy)
+    binning: str = "auto",  # auto | sort | cols | topk (capped legacy)
 ) -> tuple[jax.Array, jax.Array]:
     """Gather-free production render path (corner-major mesh data).
 
@@ -800,14 +869,8 @@ def render_batch_tri(
         )
     )
     params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses, ks)
-    if binning == "cols":
-        return _render_from_params_cols(params, bbox, face_ok, image_size,
-                                        interpret)
-    if binning == "sort":
-        return _render_from_params_sorted(params, bbox, face_ok, image_size,
-                                          tile, interpret)
-    return _render_from_params(params, bbox, face_ok, image_size, tile,
-                               max_faces_per_tile, interpret)
+    return _render_dispatch(params, bbox, face_ok, image_size, tile,
+                            max_faces_per_tile, interpret, binning)
 
 
 def _render_from_params_sorted(params, bbox, face_ok, image_size, tile,
@@ -861,7 +924,7 @@ def _render_from_params_sorted(params, bbox, face_ok, image_size, tile,
         ],
         interpret=interpret,
     )(starts, glob, vals3, params)
-    return jnp.transpose(rgb, (0, 2, 3, 1)), depth
+    return rgb, depth
 
 
 def _render_from_params(params, bbox, face_ok, image_size, tile,
@@ -920,4 +983,4 @@ def _render_from_params(params, bbox, face_ok, image_size, tile,
         interpret=interpret,
     )(table, params)
 
-    return jnp.transpose(rgb, (0, 2, 3, 1)), depth
+    return rgb, depth

@@ -162,7 +162,7 @@ def render_scene(
     between objects falls out of the shared z-buffer.
     """
     from deepim_tpu.raster.raster_pallas import (
-        _render_from_params, pack_tri_params,
+        _render_dispatch, pack_tri_params,
     )
 
     b, m = class_idx.shape
@@ -184,8 +184,8 @@ def render_scene(
     params = params.reshape(b, m * f, 24)
     bbox = bbox.reshape(b, m * f, 4)
     face_ok = face_ok.reshape(b, m * f)
-    return _render_from_params(params, bbox, face_ok, out_size, (32, 256),
-                               max_faces_per_tile, interpret)
+    return _render_dispatch(params, bbox, face_ok, out_size, (32, 256),
+                            max_faces_per_tile, interpret, "auto")
 
 
 class RefineStepOutputs(NamedTuple):

@@ -118,3 +118,20 @@ def test_non_tile_aligned_image():
     assert rgb.shape == (1, 50, 70, 3)
     o, d = render_mesh(*_args(m), poses[0], K, (50, 70))
     assert np.isclose(np.asarray(depth[0]), np.asarray(d), atol=1e-3).mean() > 0.998
+
+
+def test_face_chunking_zmerge(monkeypatch):
+    # Force the face-chunk path with a tiny chunk size: result must equal
+    # the unchunked render exactly (strict z-merge is associative/exact).
+    from deepim_tpu.raster import raster_pallas as rp
+
+    m = torus_mesh()
+    poses = _poses(2, seed=7, z=0.4)
+    ks = jnp.tile(K, (2, 1, 1))
+    rgb_ref_, d_ref_ = render_batch(*_args(m), poses, ks, (H, W),
+                                    interpret=True, binning="sort")
+    monkeypatch.setattr(rp, "_FACE_CHUNK", 256)
+    rgb_c, d_c = render_batch(*_args(m), poses, ks, (H, W),
+                              interpret=True, binning="sort")
+    assert np.array_equal(np.asarray(d_c), np.asarray(d_ref_))
+    assert np.array_equal(np.asarray(rgb_c), np.asarray(rgb_ref_))
