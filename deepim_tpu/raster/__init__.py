@@ -25,6 +25,11 @@ from deepim_tpu.raster.mesh import (
     compute_vertex_normals,
 )
 from deepim_tpu.raster.camera import make_intrinsics, crop_intrinsics
+from deepim_tpu.raster.textured import (
+    render_batch_textured,
+    sample_texture_bilinear,
+    tri_uv_corner_major,
+)
 from deepim_tpu.raster.raster_xla import (
     render_mesh,
     project_vertices,

@@ -35,6 +35,11 @@ class Mesh:
     faces: np.ndarray
     colors: np.ndarray
     normals: np.ndarray
+    # Optional texture data (kept when a textured PLY is loaded; colors
+    # above are then the baked-to-vertex fallback).  uv: (V, 2) in [0, 1];
+    # texture: (Th, Tw, 3) float32 in [0, 1].
+    uv: np.ndarray | None = None
+    texture: np.ndarray | None = None
 
     @property
     def num_vertices(self) -> int:
@@ -395,12 +400,14 @@ def load_ply(path: str) -> Mesh:
     uv_names = ("texture_u", "texture_v") if "texture_u" in names else (
         ("s", "t") if "s" in names and "t" in names else None
     )
+    uv = texture = None
     if textured is not None and uv_names is not None:
         from PIL import Image
 
         uv = np.stack([get(uv_names[0]), get(uv_names[1])], -1)
-        texture = np.asarray(Image.open(textured))
-        colors = bake_texture_to_vertices(uv, texture)
+        tex_img = np.asarray(Image.open(textured))
+        colors = bake_texture_to_vertices(uv, tex_img)
+        texture = tex_img[..., :3].astype(np.float32) / 255.0
 
     # Faces (fan-triangulate polygons)
     frows, _ = data.get("face", ([], []))
@@ -414,7 +421,11 @@ def load_ply(path: str) -> Mesh:
         for k in range(1, len(idx) - 1):
             tris.append((idx[0], idx[k], idx[k + 1]))
     faces = np.asarray(tris, np.int32).reshape(-1, 3)
-    return make_mesh(vertices, faces, colors)
+    m = make_mesh(vertices, faces, colors)
+    if uv is not None:
+        m = Mesh(m.vertices, m.faces, m.colors, m.normals,
+                 uv=uv.astype(np.float32), texture=texture)
+    return m
 
 
 def save_ply(path: str, mesh: Mesh) -> None:
@@ -460,7 +471,11 @@ def pad_mesh(mesh: Mesh, num_vertices: int, num_faces: int) -> Mesh:
         pad_face = np.zeros((pf, 3), np.int32)
         pad_face[:] = mesh.faces[0, 0] if mesh.num_faces else 0
     faces = np.concatenate([mesh.faces, pad_face])
-    return Mesh(vertices, faces, colors, normals)
+    uv = None if mesh.uv is None else np.concatenate(
+        [mesh.uv, np.zeros((pv, 2), np.float32)]
+    )
+    return Mesh(vertices, faces, colors, normals, uv=uv,
+                texture=mesh.texture)
 
 
 def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:

@@ -524,7 +524,7 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
         num_scalar_prefetch=2,
         grid=(b, n_cols),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted ids (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # sorted ids (HBM)
             pl.BlockSpec((1, f, 24), lambda bi, xi, *_: (bi, 0, 0)),
         ],
         out_specs=[
@@ -899,7 +899,7 @@ def _render_from_params_sorted(params, bbox, face_ok, image_size, tile,
         num_scalar_prefetch=2,
         grid=(b, ty, tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # vals stay in HBM
             pl.BlockSpec((1, f, 24), lambda bi, yi, xi, *_: (bi, 0, 0)),
         ],
         out_specs=[

@@ -1,0 +1,143 @@
+"""Per-pixel texture sampling on top of the Pallas rasterizer.
+
+The reference renders YCB-style textured meshes with a GLSL fragment
+shader sampling the texture per pixel (``lib/render_glumpy/render_py.py``
+texture path).  The v1 TPU path bakes textures to vertex colors at load
+(:func:`deepim_tpu.raster.mesh.bake_texture_to_vertices`) — good enough
+for dense scanned meshes, lossy for coarse ones.
+
+This module adds true per-pixel sampling as a **deferred pass** that
+reuses the raster kernels unchanged: the three color interpolation planes
+carry ``(u, v, intensity)`` instead of RGB (perspective-correct, like any
+color), and the texture lookup happens afterwards as an XLA bilinear
+gather over the rendered UV image.  Gathers are the slow op on TPU, so
+this path is for offline data generation / visual-fidelity rendering; the
+refine loop keeps baked vertex colors (geometry, not texel detail, drives
+pose refinement).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from deepim_tpu.raster.raster_pallas import _plane_pack, _render_dispatch
+from deepim_tpu.raster.raster_xla import FLAT_LIGHTING, Lighting
+
+
+def tri_uv_corner_major(mesh) -> "np.ndarray":  # noqa: F821 (doc type)
+    """Corner-major UV layout for a textured Mesh: (6, F), row 2*corner+coord.
+
+    Analogous to ``RenderAssets.tri_*`` (see refiner.py: corner-major SoA
+    so packing is gather-free vector math).
+    """
+    if mesh.uv is None:
+        raise ValueError("mesh has no UVs (not a textured PLY)")
+    return mesh.uv[mesh.faces].reshape(-1, 6).T.copy()
+
+
+def pack_tri_params_uv(tri_pos, tri_uv, tri_nrm, pose, k,
+                       lighting: Lighting, z_near: float):
+    """Like ``pack_tri_params`` but color planes carry (u, v, intensity).
+
+    ``tri_pos/tri_nrm`` are (9, F) corner-major; ``tri_uv`` is (6, F).
+    Channel 2 interpolates the Gouraud intensity so lighting composes with
+    the deferred texture lookup exactly like the baked path
+    (color = albedo * intensity).
+    """
+    r, t = pose[..., :3], pose[..., 3]
+    l = lighting.direction / jnp.maximum(
+        jnp.linalg.norm(lighting.direction), 1e-8
+    )
+    xy, zs, col = [], [], []
+    ok = None
+    for c in range(3):
+        px, py, pz = tri_pos[3 * c], tri_pos[3 * c + 1], tri_pos[3 * c + 2]
+        cx = r[0, 0] * px + r[0, 1] * py + r[0, 2] * pz + t[0]
+        cy = r[1, 0] * px + r[1, 1] * py + r[1, 2] * pz + t[1]
+        cz = r[2, 0] * px + r[2, 1] * py + r[2, 2] * pz + t[2]
+        z_safe = jnp.where(jnp.abs(cz) < 1e-8, 1e-8, cz)
+        u = k[0, 0] * cx / z_safe + k[0, 2]
+        v = k[1, 1] * cy / z_safe + k[1, 2]
+        xy.append((u, v))
+        zs.append(cz)
+        ok = (cz > z_near) if ok is None else ok & (cz > z_near)
+
+        nx, ny, nz = tri_nrm[3 * c], tri_nrm[3 * c + 1], tri_nrm[3 * c + 2]
+        ncx = r[0, 0] * nx + r[0, 1] * ny + r[0, 2] * nz
+        ncy = r[1, 0] * nx + r[1, 1] * ny + r[1, 2] * nz
+        ncz = r[2, 0] * nx + r[2, 1] * ny + r[2, 2] * nz
+        ndotl = ncx * l[0] + ncy * l[1] + ncz * l[2]
+        intensity = lighting.ambient + lighting.diffuse * jnp.abs(ndotl)
+        col.append((tri_uv[2 * c], tri_uv[2 * c + 1], intensity))
+    return _plane_pack(tuple(xy), tuple(zs), tuple(col), ok)
+
+
+def sample_texture_bilinear(texture: jax.Array, u: jax.Array,
+                            v: jax.Array) -> jax.Array:
+    """Bilinear texture taps at (u, v) in [0, 1] -> (..., 3).
+
+    Same convention as ``bake_texture_to_vertices``: x = u*(W-1),
+    y = (1-v)*(H-1) (image row 0 = v = 1).
+    """
+    h, w = texture.shape[0], texture.shape[1]
+    x = jnp.clip(u, 0.0, 1.0) * (w - 1)
+    y = (1.0 - jnp.clip(v, 0.0, 1.0)) * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    flat = texture.reshape(h * w, -1)
+
+    def tap(yy, xx):
+        return jnp.take(flat, yy * w + xx, axis=0)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
+    bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "z_near", "interpret", "binning"),
+)
+def render_batch_textured(
+    tri_pos: jax.Array,  # (B, 9, F) corner-major object-frame positions
+    tri_uv: jax.Array,  # (B, 6, F) corner-major UVs
+    tri_nrm: jax.Array,  # (B, 9, F)
+    poses: jax.Array,  # (B, 3, 4)
+    ks: jax.Array,  # (B, 3, 3)
+    image_size: tuple[int, int],
+    texture: jax.Array,  # (Th, Tw, 3) shared or (B, Th, Tw, 3) per-sample
+    lighting: Lighting = FLAT_LIGHTING,
+    z_near: float = 0.01,
+    interpret: bool = False,
+    binning: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Textured render -> (rgb (B, H, W, 3), depth (B, H, W)).
+
+    Raster pass interpolates (u, v, intensity); deferred pass samples the
+    texture bilinearly and applies intensity.  Background stays 0.
+    """
+    pack = jax.vmap(
+        lambda tp, tu, tn, p, kk: pack_tri_params_uv(
+            tp, tu, tn, p, kk, lighting, z_near
+        )
+    )
+    params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses, ks)
+    uvi, depth = _render_dispatch(params, bbox, face_ok, image_size,
+                                  (32, 256), 512, interpret, binning)
+    u, v, intensity = uvi[..., 0], uvi[..., 1], uvi[..., 2]
+    if texture.ndim == 4:
+        albedo = jax.vmap(sample_texture_bilinear)(texture, u, v)
+    else:
+        albedo = sample_texture_bilinear(texture, u, v)
+    rgb = jnp.clip(albedo * intensity[..., None], 0.0, 1.0)
+    rgb = jnp.where((depth > 0)[..., None], rgb, 0.0)
+    return rgb, depth

@@ -1,0 +1,134 @@
+"""Per-pixel texture sampling (deferred pass) vs baked vertex colors.
+
+Reference parity target: the GLSL texture-sampling fragment shader in
+``lib/render_glumpy/render_py.py`` (YCB textured meshes).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from deepim_tpu.raster import (
+    FLAT_LIGHTING,
+    Lighting,
+    Mesh,
+    compute_vertex_normals,
+    make_intrinsics,
+    render_batch_textured,
+    sample_texture_bilinear,
+    tri_uv_corner_major,
+)
+from deepim_tpu.raster.mesh import bake_texture_to_vertices
+from deepim_tpu.raster.raster_pallas import render_batch_tri
+
+H, W = 64, 128
+K = make_intrinsics(fx=120.0, fy=120.0, cx=W / 2, cy=H / 2)
+POSE = jnp.asarray(
+    [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0.5]], jnp.float32
+)
+
+
+def _textured_quad(n: int = 1):
+    """A camera-facing unit-UV quad split into 2n^2 triangles."""
+    lin = np.linspace(-0.1, 0.1, n + 1, dtype=np.float32)
+    uvlin = np.linspace(0.0, 1.0, n + 1, dtype=np.float32)
+    vv, uu = np.meshgrid(lin, lin, indexing="ij")
+    vertices = np.stack([uu, vv, np.zeros_like(uu)], -1).reshape(-1, 3)
+    uv_v, uv_u = np.meshgrid(uvlin, uvlin, indexing="ij")
+    # v decreases with +y so texture row 0 lands at the top of the image.
+    uv = np.stack([uv_u, 1.0 - uv_v], -1).reshape(-1, 2).astype(np.float32)
+    faces = []
+    for r in range(n):
+        for c in range(n):
+            a = r * (n + 1) + c
+            faces += [(a, a + 1, a + n + 1), (a + 1, a + n + 2, a + n + 1)]
+    faces = np.asarray(faces, np.int32)
+    colors = np.full_like(vertices, 0.5)
+    return Mesh(vertices, faces, colors,
+                compute_vertex_normals(vertices, faces), uv=uv)
+
+
+def _render(mesh, texture, lighting=FLAT_LIGHTING):
+    tri_pos = mesh.vertices[mesh.faces].reshape(-1, 9).T[None]
+    tri_nrm = mesh.normals[mesh.faces].reshape(-1, 9).T[None]
+    tri_uv = tri_uv_corner_major(mesh)[None]
+    return render_batch_textured(
+        jnp.asarray(tri_pos), jnp.asarray(tri_uv), jnp.asarray(tri_nrm),
+        POSE[None], K[None], (H, W), jnp.asarray(texture),
+        lighting=lighting, interpret=True,
+    )
+
+
+def test_quad_samples_texture():
+    # Horizontal gradient texture: red ramps with u, green with v.
+    th, tw = 32, 64
+    tex = np.zeros((th, tw, 3), np.float32)
+    tex[..., 0] = np.linspace(0, 1, tw)[None, :]
+    tex[..., 1] = np.linspace(1, 0, th)[:, None]  # green ramps with v
+
+    rgb, depth = _render(_textured_quad(), tex)
+    rgb, depth = np.asarray(rgb[0]), np.asarray(depth[0])
+    ys, xs = np.nonzero(depth > 0)
+    assert len(ys) > 400
+
+    # The quad spans x in [-0.1, 0.1] at z=0.5 with u ramping left->right:
+    # red must increase with pixel x, green with pixel y decreasing.
+    mid = int(np.median(ys))
+    row = np.nonzero(depth[mid] > 0)[0]
+    x0, x1 = row.min() + 1, row.max() - 1
+    assert rgb[mid, x1, 0] > rgb[mid, x0, 0] + 0.5
+    col = np.nonzero(depth[:, int(np.median(xs))] > 0)[0]
+    y0, y1 = col.min() + 1, col.max() - 1
+    assert rgb[y0, int(np.median(xs)), 1] > rgb[y1, int(np.median(xs)), 1] + 0.5
+
+    # Absolute value check at the quad center: u=v=0.5.
+    cy, cx = int(round(ys.mean())), int(round(xs.mean()))
+    assert abs(rgb[cy, cx, 0] - 0.5) < 0.08
+    assert abs(rgb[cy, cx, 1] - 0.5) < 0.08
+
+
+def test_matches_baked_on_dense_mesh():
+    # On a densely tessellated quad, per-pixel sampling and baked vertex
+    # colors must agree (smooth texture, tessellation ~ texel density).
+    mesh = _textured_quad(n=16)
+    th, tw = 64, 64
+    yy, xx = np.meshgrid(np.linspace(0, 1, th), np.linspace(0, 1, tw),
+                         indexing="ij")
+    tex = np.stack([xx, yy, 0.5 * (xx + yy)], -1).astype(np.float32)
+
+    rgb_t, d_t = _render(mesh, tex)
+    baked = bake_texture_to_vertices(mesh.uv, (tex * 255).astype(np.uint8))
+    tri_col = baked[mesh.faces].reshape(-1, 9).T[None]
+    tri_pos = mesh.vertices[mesh.faces].reshape(-1, 9).T[None]
+    tri_nrm = mesh.normals[mesh.faces].reshape(-1, 9).T[None]
+    rgb_b, d_b = render_batch_tri(
+        jnp.asarray(tri_pos), jnp.asarray(tri_col), jnp.asarray(tri_nrm),
+        POSE[None], K[None], (H, W), interpret=True,
+    )
+    inside = np.asarray(d_t[0] > 0) & np.asarray(d_b[0] > 0)
+    diff = np.abs(np.asarray(rgb_t[0]) - np.asarray(rgb_b[0]))[inside]
+    assert inside.mean() > 0.05
+    assert np.quantile(diff, 0.95) < 0.05
+
+
+def test_lighting_scales_texture():
+    tex = np.full((16, 16, 3), 0.8, np.float32)
+    lit = Lighting(ambient=jnp.float32(0.25), diffuse=jnp.float32(0.0),
+                   direction=jnp.array([0.0, 0.0, -1.0]))
+    rgb_flat, d = _render(_textured_quad(), tex)
+    rgb_lit, _ = _render(_textured_quad(), tex, lighting=lit)
+    inside = np.asarray(d[0] > 0)
+    ratio = np.asarray(rgb_lit[0])[inside] / np.asarray(rgb_flat[0])[inside]
+    assert np.allclose(ratio, 0.25, atol=0.02)
+
+
+def test_sampler_matches_numpy_bake():
+    # sample_texture_bilinear at the exact vertex UVs == host-side baking.
+    rng = np.random.RandomState(3)
+    tex8 = rng.randint(0, 255, (20, 30, 3), np.uint8)
+    uv = rng.rand(50, 2).astype(np.float32)
+    want = bake_texture_to_vertices(uv, tex8)
+    got = sample_texture_bilinear(
+        jnp.asarray(tex8[..., :3], jnp.float32) / 255.0,
+        jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1]),
+    )
+    assert np.allclose(np.asarray(got), want, atol=1e-5)
