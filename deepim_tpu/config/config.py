@@ -35,6 +35,8 @@ class NetworkConfig:
     # unseen-category mode: refine classes never seen in training)
     with_flow: bool = True  # flow aux head (reference PRED_FLOW)
     with_mask: bool = True  # mask aux head
+    input_mask: bool = False  # 8-ch input: append rendered + observed
+    # segmentation masks to the RGB pair (reference INPUT_MASK cfg)
     pose_head: str = "flatten"  # "flatten" (reference) | "gap"
     fc_dim: int = 1024
     input_height: int = 480  # network input after dynamic zoom

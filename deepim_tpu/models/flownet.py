@@ -111,6 +111,11 @@ class DeepIMFlowNet(nn.Module):
     rot_type: str = "quat"  # "quat" | "euler"
     with_flow: bool = True
     with_mask: bool = True
+    # 8-channel input mode (reference cfg option: observed+rendered RGB
+    # plus the two segmentation masks).  The conv stack is channel-
+    # agnostic; this flag tells the train/refine drivers to append the
+    # rendered mask (depth > 0) and the observed-mask estimate.
+    input_mask: bool = False
     pose_head: str = "flatten"  # "flatten" (reference) | "gap" (cheap)
     fc_dim: int = 1024
     # Fixed per-component scale on the translation head so raw outputs are

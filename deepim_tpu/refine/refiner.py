@@ -206,6 +206,7 @@ def refine_step(
     renderer: str = "pallas",
     zoom_margin: float = 1.4,
     keep_aux: bool = False,
+    obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
 ) -> RefineStepOutputs:
     """One render→zoom→CNN→compose update (all stages on-device)."""
     box = jax.vmap(
@@ -213,7 +214,8 @@ def refine_step(
     )(pose, k, assets_b.corners)
     k_zoom = zoom_intrinsics(k, box)
 
-    ren_rgb, _ = render_crops(assets_b, pose, k_zoom, out_size, renderer)
+    ren_rgb, ren_depth = render_crops(assets_b, pose, k_zoom, out_size,
+                                      renderer)
     obs_crop = jax.vmap(
         lambda im, x0, y0, sx, sy: zoom_image(
             im, type(box)(x0, y0, sx, sy), out_size,
@@ -221,7 +223,24 @@ def refine_step(
         )
     )(obs_rgb, box.x0, box.y0, box.sx, box.sy)
 
-    out = model.apply(variables, network_input(obs_crop, ren_rgb))
+    extras = ()
+    if getattr(model, "input_mask", False):
+        # Reference 8-channel mode.  The observed mask comes from the
+        # init-pose segmentation (PoseCNN in the reference) when given;
+        # otherwise fall back to the current rendered silhouette — the
+        # best available estimate of the object's observed extent.
+        ren_mask = (ren_depth > 0).astype(jnp.float32)[..., None]
+        if obs_mask is not None:
+            obs_mask_in = jax.vmap(
+                lambda im, x0, y0, sx, sy: zoom_image(
+                    im[..., None].astype(jnp.float32),
+                    type(box)(x0, y0, sx, sy), out_size, method="nearest",
+                )
+            )(obs_mask, box.x0, box.y0, box.sx, box.sy)
+        else:
+            obs_mask_in = ren_mask
+        extras = (ren_mask, obs_mask_in)
+    out = model.apply(variables, network_input(obs_crop, ren_rgb, extras))
     quat = decode_rot(select_class(out["rot_raw"], class_idx), model.rot_type)
     trans = select_class(out["trans"], class_idx)
     new_pose = apply_delta(pose, DeltaPose(quat, trans), k_zoom)
@@ -248,6 +267,7 @@ def refine_poses(
     renderer: str = "pallas",
     zoom_margin: float = 1.4,
     return_all: bool = False,
+    obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
 ) -> jax.Array:
     """K-iteration refinement (reference ``cfg.TEST.test_iter=4``) -> (B, 3, 4).
 
@@ -262,7 +282,7 @@ def refine_poses(
     def step(pose, _):
         outs = refine_step(
             variables, model, assets_b, obs_rgb, pose, k, class_idx,
-            out_size, renderer, zoom_margin,
+            out_size, renderer, zoom_margin, obs_mask=obs_mask,
         )
         return outs.pose, outs.pose if return_all else None
 

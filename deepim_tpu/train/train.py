@@ -59,6 +59,7 @@ def make_model(cfg: Config, num_classes: int) -> DeepIMFlowNet:
         with_mask=n.with_mask,
         pose_head=n.pose_head,
         fc_dim=n.fc_dim,
+        input_mask=n.input_mask,
         dtype=jnp.bfloat16 if n.dtype == "bfloat16" else jnp.float32,
     )
 
@@ -94,7 +95,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def init_state(cfg: Config, model: DeepIMFlowNet, key: jax.Array) -> TrainState:
     n = cfg.network
-    in_ch = 6
+    in_ch = 8 if n.input_mask else 6
     x = jnp.zeros((1, n.input_height, n.input_width, in_ch))
     params = model.init(key, x)
     tx = make_optimizer(cfg)
@@ -140,7 +141,16 @@ def compute_losses(
                                           t.renderer)
         obs_crop = _zoom_batch(batch["obs_rgb"], box, out_size, "bilinear",
                                precision=jax.lax.Precision.DEFAULT)
-        out = model.apply(params, network_input(obs_crop, ren_rgb))
+        extras = ()
+        if model.input_mask:
+            # Reference 8-channel mode: rendered mask + observed mask.
+            obs_mask_in = _zoom_batch(
+                batch["obs_mask"][..., None].astype(jnp.float32), box,
+                out_size, "nearest",
+            )
+            extras = ((ren_depth > 0).astype(jnp.float32)[..., None],
+                      obs_mask_in)
+        out = model.apply(params, network_input(obs_crop, ren_rgb, extras))
 
         quat = decode_rot(select_class(out["rot_raw"], batch["class_idx"]),
                           model.rot_type)

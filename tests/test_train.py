@@ -132,6 +132,39 @@ def test_compute_losses_finite(assets):
     assert "pm_loss_0" in metrics and "flow_loss_0" in metrics
 
 
+def test_input_mask_8ch(assets):
+    # Reference 8-channel cfg: RGB pair + rendered/observed masks.
+    cfg = tiny_cfg()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, network=dataclasses.replace(cfg.network, input_mask=True)
+    )
+    model = make_model(cfg, assets.num_classes)
+    assert model.input_mask
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    batch = synthetic_batch(jax.random.PRNGKey(1), assets, 4, K_CAM, (H, W),
+                            renderer="xla")
+    loss, metrics = compute_losses(state.params, model, assets, batch, cfg)
+    assert np.isfinite(float(loss))
+
+    # Refine loop: with and without an observed mask input.
+    from deepim_tpu.refine import refine_poses
+
+    poses = refine_poses(
+        state.params, model, assets, batch["obs_rgb"], batch["pose_src"],
+        batch["k"], batch["class_idx"], num_iters=2, out_size=(H, W),
+        renderer="xla",
+    )
+    assert poses.shape == batch["pose_src"].shape
+    poses_m = refine_poses(
+        state.params, model, assets, batch["obs_rgb"], batch["pose_src"],
+        batch["k"], batch["class_idx"], num_iters=2, out_size=(H, W),
+        renderer="xla", obs_mask=batch["obs_mask"],
+    )
+    assert np.isfinite(np.asarray(poses_m)).all()
+
+
 def test_train_step_and_iterative(assets):
     cfg = tiny_cfg(train_iter=2)
     model = make_model(cfg, assets.num_classes)
