@@ -209,19 +209,22 @@ def refine_step(
     obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
 ) -> RefineStepOutputs:
     """One render→zoom→CNN→compose update (all stages on-device)."""
-    box = jax.vmap(
-        lambda p, kk, c: compute_zoom_box(p, kk, c, out_size, zoom_margin)
-    )(pose, k, assets_b.corners)
-    k_zoom = zoom_intrinsics(k, box)
+    with jax.named_scope("zoom_box"):
+        box = jax.vmap(
+            lambda p, kk, c: compute_zoom_box(p, kk, c, out_size, zoom_margin)
+        )(pose, k, assets_b.corners)
+        k_zoom = zoom_intrinsics(k, box)
 
-    ren_rgb, ren_depth = render_crops(assets_b, pose, k_zoom, out_size,
-                                      renderer)
-    obs_crop = jax.vmap(
-        lambda im, x0, y0, sx, sy: zoom_image(
-            im, type(box)(x0, y0, sx, sy), out_size,
-            precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
-        )
-    )(obs_rgb, box.x0, box.y0, box.sx, box.sy)
+    with jax.named_scope("render"):
+        ren_rgb, ren_depth = render_crops(assets_b, pose, k_zoom, out_size,
+                                          renderer)
+    with jax.named_scope("zoom_obs"):
+        obs_crop = jax.vmap(
+            lambda im, x0, y0, sx, sy: zoom_image(
+                im, type(box)(x0, y0, sx, sy), out_size,
+                precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
+            )
+        )(obs_rgb, box.x0, box.y0, box.sx, box.sy)
 
     extras = ()
     if getattr(model, "input_mask", False):
@@ -240,10 +243,13 @@ def refine_step(
         else:
             obs_mask_in = ren_mask
         extras = (ren_mask, obs_mask_in)
-    out = model.apply(variables, network_input(obs_crop, ren_rgb, extras))
-    quat = decode_rot(select_class(out["rot_raw"], class_idx), model.rot_type)
-    trans = select_class(out["trans"], class_idx)
-    new_pose = apply_delta(pose, DeltaPose(quat, trans), k_zoom)
+    with jax.named_scope("cnn"):
+        out = model.apply(variables, network_input(obs_crop, ren_rgb, extras))
+    with jax.named_scope("compose"):
+        quat = decode_rot(select_class(out["rot_raw"], class_idx),
+                          model.rot_type)
+        trans = select_class(out["trans"], class_idx)
+        new_pose = apply_delta(pose, DeltaPose(quat, trans), k_zoom)
     aux = {kk: v for kk, v in out.items() if kk not in ("rot_raw", "trans")} \
         if keep_aux else {}
     return RefineStepOutputs(new_pose, k_zoom, aux)
