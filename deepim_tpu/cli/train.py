@@ -46,9 +46,10 @@ def load_assets_and_names(cfg, eval_set: bool = False):
         list(d.objects)
     if d.name == "modelnet" and not (eval_set and d.eval_objects):
         # ModelNet protocol: train on a randomized procedural shape zoo.
-        from deepim_tpu.raster.mesh import random_mesh_zoo
+        from deepim_tpu.raster.mesh import ZOO_FAMILIES, random_mesh_zoo
 
-        zoo = random_mesh_zoo(d.zoo_size, d.zoo_seed)
+        fams = tuple(d.zoo_families) or ZOO_FAMILIES
+        zoo = random_mesh_zoo(d.zoo_size, d.zoo_seed, fams)
         names = list(zoo)
         meshes = [zoo[n] for n in names]
     elif d.name.startswith("synthetic") or d.name == "modelnet":
@@ -62,7 +63,7 @@ def load_assets_and_names(cfg, eval_set: bool = False):
     from deepim_tpu.geometry.symmetry import rot_z_syms
 
     def sym_for(n):
-        if n.startswith(("zoo_cyl", "zoo_torus")):
+        if n.startswith(("zoo_cyl", "zoo_torus", "zoo_cone", "zoo_capsule")):
             return rot_z_syms(16)
         return sym_table.get(n)
 

@@ -96,6 +96,9 @@ class DatasetConfig:
     # (category-level generalization needs many training shapes).
     zoo_size: int = 24
     zoo_seed: int = 0
+    # Zoo shape families to train on; empty = all.  Excluding the eval
+    # shapes' families makes the protocol truly unseen-CATEGORY.
+    zoo_families: tuple = ()
     image_height: int = 480
     image_width: int = 640
     # Default LINEMOD intrinsics (the reference's LM6d K).

@@ -50,7 +50,8 @@ LINEMOD_SYMMETRIC = {"eggbox": rot_z_syms(2), "glue": rot_z_syms(2)}
 # about z (colors vary only radially / by ring); the icosphere's
 # position-coded colors break its geometric symmetry, so it stays
 # asymmetric.
-PROCEDURAL_SYMMETRIC = {"torus": rot_z_syms(16), "cylinder": rot_z_syms(16)}
+PROCEDURAL_SYMMETRIC = {"torus": rot_z_syms(16), "cylinder": rot_z_syms(16),
+                        "cone": rot_z_syms(16), "capsule": rot_z_syms(16)}
 # YCB symmetric classes (evaluated with ADD-S in the reference); continuous
 # symmetries (bowl) are approximated by a dense discrete set.
 YCB_SYMMETRIC = {

@@ -204,47 +204,119 @@ def torus_mesh(r_major=0.05, r_minor=0.02, n_major=24, n_minor=12,
     return make_mesh(verts, faces, cols)
 
 
+def cone_mesh(radius=0.04, height=0.1, segments=24,
+              color=(0.3, 0.75, 0.4)) -> Mesh:
+    """Cone with apex at +z (z-symmetric category for the shape zoo)."""
+    verts = [(0.0, 0.0, height / 2), (0.0, 0.0, -height / 2)]
+    cols = [tuple(np.asarray(color) * 1.2), tuple(np.asarray(color) * 0.5)]
+    for i in range(segments):
+        a = 2 * np.pi * i / segments
+        verts.append((radius * np.cos(a), radius * np.sin(a), -height / 2))
+        # Rotationally uniform ring color: the cone is treated as
+        # z-symmetric (PM loss / ADD-S), so its appearance must be too.
+        cols.append(tuple(np.asarray(color) * 0.85))
+    faces = []
+    for i in range(segments):
+        a0 = 2 + i
+        a1 = 2 + (i + 1) % segments
+        faces += [(0, a0, a1), (1, a1, a0)]  # side + base fan
+    return make_mesh(verts, faces, np.clip(np.asarray(cols), 0, 1))
+
+
+def capsule_mesh(radius=0.03, height=0.08, segments=16, rings=6,
+                 color=(0.85, 0.65, 0.25)) -> Mesh:
+    """Cylinder with hemispherical caps (z-symmetric zoo category)."""
+    verts, cols = [], []
+    half = height / 2
+    # Stacked latitude rings: bottom cap, straight section, top cap.
+    lat = (
+        [(-np.pi / 2 + (np.pi / 2) * (r / rings), -half) for r in range(rings)]
+        + [(0.0, -half), (0.0, half)]
+        + [((np.pi / 2) * (r / rings), half) for r in range(1, rings + 1)]
+    )
+    for phi, zc in lat:
+        rr = radius * np.cos(phi)
+        zz = zc + radius * np.sin(phi)
+        for i in range(segments):
+            a = 2 * np.pi * i / segments
+            verts.append((rr * np.cos(a), rr * np.sin(a), zz))
+            shade = 0.6 + 0.4 * (zz + half + radius) / (height + 2 * radius)
+            cols.append(tuple(np.asarray(color) * shade))
+    faces = []
+    n_lat = len(lat)
+    for r in range(n_lat - 1):
+        for i in range(segments):
+            a0 = r * segments + i
+            a1 = r * segments + (i + 1) % segments
+            b0 = (r + 1) * segments + i
+            b1 = (r + 1) * segments + (i + 1) % segments
+            faces += [(a0, b0, b1), (a0, b1, a1)]
+    return make_mesh(verts, faces, np.clip(np.asarray(cols), 0, 1))
+
+
 PROCEDURAL_MESHES = {
     "box": box_mesh,
     "icosphere": icosphere_mesh,
     "cylinder": cylinder_mesh,
     "torus": torus_mesh,
+    "cone": cone_mesh,
+    "capsule": capsule_mesh,
 }
 
 
-def random_mesh_zoo(n: int, seed: int = 0) -> dict[str, Mesh]:
+ZOO_FAMILIES = ("box", "sphere", "cylinder", "torus", "cone", "capsule")
+
+
+def random_mesh_zoo(n: int, seed: int = 0,
+                    families: tuple[str, ...] = ZOO_FAMILIES
+                    ) -> dict[str, Mesh]:
     """n random-parameter procedural meshes — the ModelNet-protocol shape
     zoo (unseen-category generalization needs MANY training shapes;
     reference trains on hundreds of ModelNet categories).
 
-    Shapes cycle through the four families with randomized dimensions,
-    colors, and (for boxes) per-face palettes.
+    Shapes cycle through ``families`` with randomized dimensions, colors,
+    and (for boxes) per-face palettes.  Restricting ``families`` holds
+    whole shape CATEGORIES out of training — the honest unseen-category
+    protocol (evaluating on a canonical sphere after training on random
+    spheres is only unseen-instance).
     """
     rng = np.random.RandomState(seed)
     zoo: dict[str, Mesh] = {}
     for i in range(n):
-        kind = i % 4
+        kind = families[i % len(families)]
         color = tuple(0.25 + 0.75 * rng.rand(3))
-        if kind == 0:
+        if kind == "box":
             size = tuple(0.04 + 0.12 * rng.rand(3))
             face_colors = [tuple(0.2 + 0.8 * rng.rand(3)) for _ in range(6)]
             m = box_mesh(size, face_colors=face_colors)
             name = f"zoo_box_{i:03d}"
-        elif kind == 1:
+        elif kind == "sphere":
             m = icosphere_mesh(0.03 + 0.04 * rng.rand(), subdivisions=2,
                                color=color)
             name = f"zoo_sphere_{i:03d}"
-        elif kind == 2:
+        elif kind == "cylinder":
             m = cylinder_mesh(0.02 + 0.03 * rng.rand(),
                               0.06 + 0.1 * rng.rand(),
                               segments=int(12 + 16 * rng.rand()),
                               color=color)
             name = f"zoo_cyl_{i:03d}"
-        else:
+        elif kind == "torus":
             r_mj = 0.03 + 0.04 * rng.rand()
             m = torus_mesh(r_mj, 0.25 * r_mj + 0.015 * rng.rand(),
                            color=color)
             name = f"zoo_torus_{i:03d}"
+        elif kind == "cone":
+            m = cone_mesh(0.025 + 0.035 * rng.rand(),
+                          0.06 + 0.09 * rng.rand(),
+                          segments=int(12 + 16 * rng.rand()), color=color)
+            name = f"zoo_cone_{i:03d}"
+        elif kind == "capsule":
+            m = capsule_mesh(0.02 + 0.025 * rng.rand(),
+                             0.04 + 0.08 * rng.rand(),
+                             segments=int(12 + 8 * rng.rand()), color=color)
+            name = f"zoo_capsule_{i:03d}"
+        else:
+            raise ValueError(f"unknown zoo family {kind!r}")
         zoo[name] = m
     return zoo
 

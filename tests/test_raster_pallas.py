@@ -135,3 +135,18 @@ def test_face_chunking_zmerge(monkeypatch):
                               interpret=True, binning="sort")
     assert np.array_equal(np.asarray(d_c), np.asarray(d_ref_))
     assert np.array_equal(np.asarray(rgb_c), np.asarray(rgb_ref_))
+
+
+def test_new_zoo_families_render():
+    # cone + capsule zoo families: valid meshes that rasterize to
+    # something agreeing with the oracle.
+    from deepim_tpu.raster.mesh import capsule_mesh, cone_mesh, random_mesh_zoo
+
+    for m in (cone_mesh(), capsule_mesh()):
+        assert m.faces.min() >= 0 and m.faces.max() < m.num_vertices
+        assert np.isfinite(m.normals).all() and np.isfinite(m.vertices).all()
+        _compare(m, _poses(1, seed=8, z=0.45), atol_frac=0.004)
+
+    zoo = random_mesh_zoo(8, families=("cone", "capsule"))
+    assert len(zoo) == 8
+    assert all(n.startswith(("zoo_cone", "zoo_capsule")) for n in zoo)
