@@ -123,7 +123,55 @@ def main(argv=None):
 
     d = cfg.dataset
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
-    step_fn = make_synthetic_train_step(model, assets, cfg, k_cam, mesh=mesh)
+    syn_step = make_synthetic_train_step(model, assets, cfg, k_cam,
+                                         mesh=mesh)
+    batcher = disk_step = None
+    if d.name.startswith("lm6d") or d.name == "ycb":
+        # On-disk training (reference TrainDataLoader flow): shuffled
+        # frame batches + per-step perturbed src poses, mixed with
+        # in-graph synthetic steps per cfg.train.syn_fraction.
+        import jax.numpy as jnp
+
+        from deepim_tpu.data.lm6d import LM6DDataset, TrainBatcher
+        from deepim_tpu.data.pairs import perturb_poses
+        from deepim_tpu.train import make_train_step
+
+        ds_disk = LM6DDataset(d.root, names)
+        batcher = TrainBatcher(ds_disk, names, cfg.train.batch_size,
+                               seed=cfg.train.seed)
+        disk_step = make_train_step(model, assets, cfg, mesh=mesh)
+        print(f"on-disk training: {batcher.num_records} frames, "
+              f"syn_fraction={cfg.train.syn_fraction}")
+
+        def run_disk_step(state, sub):
+            t = cfg.train
+            b = batcher.next()
+            pose_tgt = jnp.asarray(b["pose_tgt"])
+            pose_src = perturb_poses(
+                sub, pose_tgt, rot_std_deg=t.rot_noise_deg,
+                rot_max_deg=t.rot_noise_max_deg, trans_std=t.trans_noise,
+                trans_max=t.trans_noise_max,
+            )
+            batch = {
+                "obs_rgb": jnp.asarray(b["obs_rgb"]),
+                "obs_depth": jnp.asarray(b["obs_depth"]),
+                "obs_mask": jnp.asarray(b["obs_mask"]),
+                "pose_src": pose_src,
+                "pose_tgt": pose_tgt,
+                "k": jnp.tile(jnp.asarray(k_cam)[None],
+                              (pose_tgt.shape[0], 1, 1)),
+                "class_idx": jnp.asarray(b["class_idx"]),
+            }
+            return disk_step(state, batch)
+
+    def step_fn(state, sub):
+        if batcher is None:
+            return syn_step(state, sub)
+        # Deterministic real/syn interleave at the configured fraction.
+        it = int(state.step)
+        syn = (int(cfg.train.syn_fraction * (it + 1))
+               - int(cfg.train.syn_fraction * it)) == 1
+        return syn_step(state, sub) if syn else run_disk_step(state, sub)
 
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     t_last = time.time()

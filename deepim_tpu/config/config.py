@@ -62,6 +62,9 @@ class TrainConfig:
     rot_noise_max_deg: float = 45.0
     trans_noise: tuple = (0.01, 0.01, 0.05)
     trans_noise_max: tuple = (0.03, 0.03, 0.15)
+    # On-disk datasets: fraction of steps trained on in-graph synthetic
+    # pairs instead of disk frames (reference merges real + syn roidbs).
+    syn_fraction: float = 0.5
     train_iter: int = 1  # iterative training (reference update_data_batch)
     w_pm: float = 1.0
     w_flow: float = 0.1

@@ -238,3 +238,76 @@ def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
         "class_idx": np.asarray([r.class_idx for r in recs], np.int32),
         "num_real": n,
     }
+
+
+class TrainBatcher:
+    """Shuffled-epoch minibatch iterator over on-disk LM6d frames.
+
+    The on-disk half of the reference's ``TrainDataLoader``
+    (``deepim/core/loader.py``): shuffles the merged per-object roidb every
+    epoch and yields dense numpy batches; frame IO runs one batch AHEAD on
+    a background thread (atop the native C++ prefetch reader), so the
+    accelerator never waits on PNG decode.
+
+    Yields dicts with obs_rgb/obs_depth/obs_mask/pose_tgt/class_idx — the
+    caller adds pose_src (perturbed GT) and K.
+    """
+
+    def __init__(self, dataset: LM6DDataset, objects: list[str],
+                 batch_size: int, split: str = "train", seed: int = 0):
+        import threading
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.records = [
+            r for obj in objects for r in dataset.gt_roidb(obj, split)
+        ]
+        if not self.records:
+            raise ValueError(f"no '{split}' records under {dataset.root}")
+        self._rng = np.random.RandomState(seed)
+        self._order: list[int] = []
+        self._threading = threading
+        self._thread = None
+        self._pending = None
+        self._start_next()
+
+    @property
+    def num_records(self) -> int:
+        return len(self.records)
+
+    def _take(self) -> list[FrameRecord]:
+        out = []
+        while len(out) < self.batch_size:
+            if not self._order:
+                self._order = list(self._rng.permutation(len(self.records)))
+            out.append(self.records[self._order.pop()])
+        return out
+
+    def _load(self, recs: list[FrameRecord]) -> dict[str, np.ndarray]:
+        frames = load_frames_prefetched(self.dataset, recs)
+        return {
+            "obs_rgb": np.stack([f["obs_rgb"] for f in frames]),
+            "obs_depth": np.stack([f["obs_depth"] for f in frames]),
+            "obs_mask": np.stack(
+                [f["obs_mask"] for f in frames]
+            ).astype(np.float32),
+            "pose_tgt": np.stack([r.pose for r in recs]),
+            "class_idx": np.asarray([r.class_idx for r in recs], np.int32),
+        }
+
+    def _start_next(self):
+        recs = self._take()
+        box = {}
+
+        def work():
+            box["batch"] = self._load(recs)
+
+        self._pending = box
+        self._thread = self._threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def next(self) -> dict[str, np.ndarray]:
+        self._thread.join()
+        batch = self._pending["batch"]
+        self._start_next()
+        return batch

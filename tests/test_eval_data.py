@@ -161,3 +161,60 @@ def test_cli_train_and_test(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(str(tmp_path / "out"), "toy", "eval_results.json")
     )
+
+
+@pytest.mark.slow
+def test_cli_train_on_disk_lm6d(tmp_path, disk_ds):
+    """On-disk LM6d training: TrainBatcher frames + real/syn step mix —
+    the reference's real-data TrainDataLoader flow at toy scale."""
+    import yaml
+
+    from deepim_tpu.cli import test as cli_test
+    from deepim_tpu.cli import train as cli_train
+
+    cfg = {
+        "experiment": "toy_disk",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "lm6d", "root": disk_ds.root,
+                    "objects": ["box", "icosphere"],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "train": {"batch_size": 4, "num_steps": 4, "renderer": "xla",
+                  "optimizer": "adam", "lr": 1e-4, "log_every": 2,
+                  "checkpoint_every": 4, "warmup_steps": 0,
+                  "w_flow": 0.0, "w_mask": 0.0, "syn_fraction": 0.5},
+        "test": {"test_iter": 1, "batch_size": 4, "renderer": "xla",
+                 "init": "posecnn"},
+    }
+    cfg_path = str(tmp_path / "toy_disk.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    assert cli_train.main(["--cfg", cfg_path, "--n-devices", "1"]) == 0
+    ckpts = os.listdir(os.path.join(str(tmp_path / "out"), "toy_disk",
+                                    "checkpoints"))
+    assert len(ckpts) >= 1
+    assert cli_test.main(["--cfg", cfg_path]) == 0
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "out"), "toy_disk", "eval_results.json")
+    )
+
+
+def test_train_batcher_epochs(disk_ds):
+    from deepim_tpu.data.lm6d import TrainBatcher
+
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    b = TrainBatcher(ds, ["box", "icosphere"], batch_size=4, seed=1)
+    n = b.num_records
+    seen = []
+    for _ in range((2 * n) // 4):
+        batch = b.next()
+        assert batch["obs_rgb"].shape == (4, H, W, 3)
+        assert batch["obs_mask"].dtype == np.float32
+        seen.append(batch["class_idx"])
+    # two epochs worth of draws cover both classes repeatedly
+    cls = np.concatenate(seen)
+    assert (cls == 0).sum() > 0 and (cls == 1).sum() > 0
