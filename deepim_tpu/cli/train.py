@@ -164,11 +164,11 @@ def main(argv=None):
             }
             return disk_step(state, batch)
 
-    def step_fn(state, sub):
+    def step_fn(state, sub, it):
         if batcher is None:
             return syn_step(state, sub)
-        # Deterministic real/syn interleave at the configured fraction.
-        it = int(state.step)
+        # Deterministic real/syn interleave at the configured fraction
+        # (host-side counter: reading state.step would sync every step).
         syn = (int(cfg.train.syn_fraction * (it + 1))
                - int(cfg.train.syn_fraction * it)) == 1
         return syn_step(state, sub) if syn else run_disk_step(state, sub)
@@ -179,7 +179,7 @@ def main(argv=None):
     with open(log_path, "a") as logf:
         for it in range(start_step, cfg.train.num_steps):
             key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, sub)
+            state, metrics = step_fn(state, sub, it)
             if (it + 1) % cfg.train.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t_last
