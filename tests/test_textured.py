@@ -132,3 +132,25 @@ def test_sampler_matches_numpy_bake():
         jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1]),
     )
     assert np.allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_per_sample_textures():
+    # (B, Th, Tw, 3) textures: each sample samples its own map.
+    mesh = _textured_quad()
+    tri_pos = jnp.tile(jnp.asarray(
+        mesh.vertices[mesh.faces].reshape(-1, 9).T)[None], (2, 1, 1))
+    tri_nrm = jnp.tile(jnp.asarray(
+        mesh.normals[mesh.faces].reshape(-1, 9).T)[None], (2, 1, 1))
+    tri_uv = jnp.tile(jnp.asarray(tri_uv_corner_major(mesh))[None], (2, 1, 1))
+    tex = np.stack([np.full((8, 8, 3), 0.2, np.float32),
+                    np.full((8, 8, 3), 0.9, np.float32)])
+    rgb, depth = render_batch_textured(
+        tri_pos, tri_uv, tri_nrm, jnp.tile(POSE[None], (2, 1, 1)),
+        jnp.tile(K[None], (2, 1, 1)), (H, W), jnp.asarray(tex),
+        interpret=True,
+    )
+    rgb, depth = np.asarray(rgb), np.asarray(depth)
+    for b, want in [(0, 0.2), (1, 0.9)]:
+        inside = depth[b] > 0
+        assert inside.sum() > 400
+        assert np.allclose(rgb[b][inside], want, atol=0.02)
