@@ -150,3 +150,40 @@ def test_new_zoo_families_render():
     zoo = random_mesh_zoo(8, families=("cone", "capsule"))
     assert len(zoo) == 8
     assert all(n.startswith(("zoo_cone", "zoo_capsule")) for n in zoo)
+
+
+def test_auto_binning_selection(monkeypatch):
+    # auto -> sorted kernel below the crossover, column kernel above,
+    # chunked into <=_FACE_CHUNK launches past the VMEM cap.
+    from deepim_tpu.raster import raster_pallas as rp
+
+    calls = []
+
+    def fake_sorted(params, bbox, face_ok, image_size, tile, interpret):
+        calls.append(("sort", params.shape[1]))
+        b = params.shape[0]
+        h, w = image_size
+        return jnp.zeros((b, 3, h, w)), jnp.zeros((b, h, w))
+
+    def fake_cols(params, bbox, face_ok, image_size, interpret):
+        calls.append(("cols", params.shape[1]))
+        b = params.shape[0]
+        h, w = image_size
+        return jnp.zeros((b, 3, h, w)), jnp.zeros((b, h, w))
+
+    monkeypatch.setattr(rp, "_render_from_params_sorted", fake_sorted)
+    monkeypatch.setattr(rp, "_render_from_params_cols", fake_cols)
+
+    def dispatch(f):
+        calls.clear()
+        params = jnp.zeros((1, f, 24))
+        bbox = jnp.zeros((1, f, 4))
+        ok = jnp.ones((1, f), bool)
+        rp._render_dispatch(params, bbox, ok, (16, 16), (8, 128), 64,
+                            False, "auto")
+        return list(calls)
+
+    assert dispatch(1000) == [("sort", 1000)]
+    assert dispatch(rp._COLS_MIN_FACES) == [("cols", rp._COLS_MIN_FACES)]
+    big = rp._FACE_CHUNK + 100
+    assert dispatch(big) == [("cols", rp._FACE_CHUNK), ("sort", 100)]
