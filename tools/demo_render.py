@@ -72,6 +72,30 @@ def main(out_dir: str = "output/demo") -> int:
     )
     save_image(os.path.join(out_dir, "scene.png"),
                (np.clip(np.asarray(srgb[0]), 0, 1) * 255).astype(np.uint8))
+
+    # per-pixel texture sampling (deferred UV pass) on a checkered box
+    from deepim_tpu.raster.mesh import Mesh, compute_vertex_normals
+    from deepim_tpu.raster.textured import (
+        render_batch_textured, tri_uv_corner_major,
+    )
+
+    bm = box_mesh((0.1, 0.1, 0.1))
+    # box UVs: unwrap by vertex xy (coarse but demonstrative)
+    uv = (bm.vertices[:, :2] / 0.1 + 1.0) / 2.0
+    tm = Mesh(bm.vertices, bm.faces, bm.colors,
+              compute_vertex_normals(bm.vertices, bm.faces),
+              uv=uv.astype(np.float32))
+    checker = ((np.indices((64, 64)).sum(0) // 8) % 2).astype(np.float32)
+    tex = np.stack([checker, 1 - checker, np.full_like(checker, 0.5)], -1)
+    trgb, _ = render_batch_textured(
+        jnp.asarray(tm.vertices[tm.faces].reshape(-1, 9).T)[None],
+        jnp.asarray(tri_uv_corner_major(tm))[None],
+        jnp.asarray(tm.normals[tm.faces].reshape(-1, 9).T)[None],
+        poses[:1], ks[:1], (480, 640), jnp.asarray(tex),
+        interpret=renderer == "xla",
+    )
+    save_image(os.path.join(out_dir, "textured.png"),
+               (np.clip(np.asarray(trgb[0]), 0, 1) * 255).astype(np.uint8))
     print(f"wrote demo images to {out_dir}")
     return 0
 
