@@ -64,6 +64,78 @@ class Conv(nn.Module):
         return leaky(x)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv kernel+bias params, matching ``nn.Conv``'s names/shapes/init.
+
+    Lets :class:`StemConv` own parameters at the exact checkpoint path a
+    wrapped ``nn.Conv`` would use (``<parent>/Conv_0/{kernel,bias}``) while
+    driving the convolution itself through ``lax`` with a rearranged kernel.
+    """
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.kshape,
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],),
+                       jnp.float32)
+        return k, b
+
+
+class StemConv(nn.Module):
+    """conv1 (7x7/s2) with an exact space-to-depth MXU fast path.
+
+    A 7x7/s2 conv over a 6-channel input runs the MXU at ~30% (the
+    contracted dim is 7*6=42 per tap row; XLA also inserts a full-tensor
+    layout copy to feed it batch-minor).  Space-to-depth by 2 rewrites it
+    as a mathematically *identical* 4x4/s1 conv over 4x the channels
+    (kernel taps regrouped by output-row parity; the 8th tap row/col is
+    zero) — the standard MLPerf ResNet TPU stem trick.  Parameters are
+    identical to the plain path (same path, shape, and init), so either
+    path loads any checkpoint.
+    """
+
+    features: int
+    kernel: int = 7
+    stride: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kk, ss = self.kernel, self.stride
+        c = x.shape[-1]
+        kernel, bias = _ConvParams((kk, kk, c, self.features),
+                                   name="Conv_0")()
+        b_, h, w = x.shape[0], x.shape[1], x.shape[2]
+        dt = self.dtype
+        if ss == 2 and h % 2 == 0 and w % 2 == 0:
+            # SAME padding for even dims & stride 2: (lo, hi) = (k//2 - 1,
+            # k//2); pad hi one extra so the padded extent is even.
+            lo = kk // 2 - 1
+            hi = kk // 2 + (kk % 2)
+            kb = (kk + 1) // 2  # kernel extent in block space
+            xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+            h2, w2 = (h + lo + hi) // 2, (w + lo + hi) // 2
+            xs = xp.reshape(b_, h2, 2, w2, 2, c)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h2, w2, 4 * c)
+            kp = jnp.pad(kernel, ((0, 2 * kb - kk), (0, 2 * kb - kk),
+                                  (0, 0), (0, 0)))
+            kp = kp.reshape(kb, 2, kb, 2, c, self.features)
+            kp = kp.transpose(0, 2, 1, 3, 4, 5)
+            kp = kp.reshape(kb, kb, 4 * c, self.features)
+            y = jax.lax.conv_general_dilated(
+                xs.astype(dt), kp.astype(dt), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:  # odd input dims: plain path (identical math to nn.Conv)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt), (ss, ss), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return leaky(y + bias.astype(dt))
+
+
 class Deconv(nn.Module):
     """Transposed conv 4x4/s2 + LeakyReLU (FlowNetS upsampling block)."""
 
@@ -126,6 +198,14 @@ class DeepIMFlowNet(nn.Module):
     # long schedules instead).
     trans_scale: tuple = (20.0, 20.0, 0.5)
     dtype: Any = jnp.bfloat16
+    # Exact space-to-depth rewrite of conv1 (see StemConv) — same params,
+    # same math.  OFF by default: on v5e XLA materializes the s2d
+    # rearrangement as ~7 ms of pad/reshape/transpose data formatting and
+    # the 4x4x24 conv compiles no faster than the 7x7x6 one (measured via
+    # xprof; net +5.5 ms/iteration).  Kept (with its equivalence test) for
+    # a future variant where the zoom/render producers emit the s2d layout
+    # directly.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -133,7 +213,10 @@ class DeepIMFlowNet(nn.Module):
         x = x.astype(dt)
 
         # --- FlowNetS encoder (channels per the public FlowNetS arch) ---
-        c1 = Conv(64, 7, 2, dt, name="conv1")(x)  # 1/2
+        if self.stem_s2d:
+            c1 = StemConv(64, 7, 2, dt, name="conv1")(x)  # 1/2
+        else:
+            c1 = Conv(64, 7, 2, dt, name="conv1")(x)  # 1/2
         c2 = Conv(128, 5, 2, dt, name="conv2")(c1)  # 1/4
         c3 = Conv(256, 5, 2, dt, name="conv3")(c2)  # 1/8
         c3 = Conv(256, 3, 1, dt, name="conv3_1")(c3)

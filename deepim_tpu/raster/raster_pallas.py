@@ -577,7 +577,8 @@ def _zmerge_nchw(a, b):
 
 
 def _render_dispatch(params, bbox, face_ok, image_size, tile,
-                     max_faces_per_tile, interpret, binning):
+                     max_faces_per_tile, interpret, binning,
+                     spans=(4, 2)):
     """Pick a kernel (auto by face budget) and chunk faces past the VMEM cap.
 
     All internal paths return (rgb (B, 3, H, W), depth (B, H, W)); the
@@ -591,17 +592,18 @@ def _render_dispatch(params, bbox, face_ok, image_size, tile,
             part = _render_chunk(
                 params[:, c0:c1], bbox[:, c0:c1], face_ok[:, c0:c1],
                 image_size, tile, max_faces_per_tile, interpret, binning,
+                spans,
             )
             out = part if out is None else _zmerge_nchw(out, part)
     else:
         out = _render_chunk(params, bbox, face_ok, image_size, tile,
-                            max_faces_per_tile, interpret, binning)
+                            max_faces_per_tile, interpret, binning, spans)
     rgb, depth = out
     return jnp.transpose(rgb, (0, 2, 3, 1)), depth
 
 
 def _render_chunk(params, bbox, face_ok, image_size, tile,
-                  max_faces_per_tile, interpret, binning):
+                  max_faces_per_tile, interpret, binning, spans=(4, 2)):
     """One ≤ _FACE_CHUNK kernel launch -> (rgb NCHW, depth)."""
     f = params.shape[1]
     if binning == "auto":
@@ -611,7 +613,8 @@ def _render_chunk(params, bbox, face_ok, image_size, tile,
                                         interpret)
     if binning == "sort":
         return _render_from_params_sorted(params, bbox, face_ok, image_size,
-                                          tile, interpret)
+                                          tile, interpret,
+                                          sy_span=spans[0], sx_span=spans[1])
     return _render_from_params(params, bbox, face_ok, image_size, tile,
                                max_faces_per_tile, interpret)
 
@@ -841,7 +844,7 @@ def render_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("image_size", "tile", "max_faces_per_tile", "z_near",
-                     "interpret", "binning"),
+                     "interpret", "binning", "spans"),
 )
 def render_batch_tri(
     tri_pos: jax.Array,  # (B, 9, F) corner-major SoA object-frame positions
@@ -856,12 +859,19 @@ def render_batch_tri(
     max_faces_per_tile: int = 512,
     interpret: bool = False,
     binning: str = "auto",  # auto | sort | cols | topk (capped legacy)
+    spans: tuple[int, int] = (4, 2),  # sort-binning (sy, sx) tile spans
 ) -> tuple[jax.Array, jax.Array]:
     """Gather-free production render path (corner-major mesh data).
 
     Same outputs as :func:`render_batch`; use this when the mesh is already
     corner-major (``RenderAssets.tri_*``) — the vertex+faces path spends
     most of its time in per-face gathers on TPU.
+
+    ``spans``: how many tiles a face may register with before falling to
+    the every-tile global list.  (4, 2) suits sparse full-frame renders;
+    (8, 3) is ~12% faster when the object fills the frame (the refine
+    loop's zoom-crop regime) — big faces land in their exact tiles instead
+    of being re-tested by all of them.
     """
     pack = jax.vmap(
         lambda tp, tc, tn, p, kk: pack_tri_params(
@@ -870,12 +880,14 @@ def render_batch_tri(
     )
     params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses, ks)
     return _render_dispatch(params, bbox, face_ok, image_size, tile,
-                            max_faces_per_tile, interpret, binning)
+                            max_faces_per_tile, interpret, binning,
+                            spans=spans)
 
 
 def _render_from_params_sorted(params, bbox, face_ok, image_size, tile,
                                interpret, chunk_rows: int = 4,
-                               global_cap: int = 128):
+                               global_cap: int = 128,
+                               sy_span: int = 4, sx_span: int = 2):
     """Lossless sort-binned launch (see :func:`bin_faces_sorted`)."""
     b, f = params.shape[0], params.shape[1]
     h, w = image_size
@@ -885,6 +897,7 @@ def _render_from_params_sorted(params, bbox, face_ok, image_size, tile,
 
     vals, starts, glob = jax.vmap(
         lambda bb, ok: bin_faces_sorted(bb, ok, image_size, tile,
+                                        sy_span=sy_span, sx_span=sx_span,
                                         global_cap=global_cap)
     )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, G+1)
     # Row-pack sorted ids; pad so any chunk window stays in bounds.

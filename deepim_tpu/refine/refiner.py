@@ -126,11 +126,16 @@ def render_crops(
 ) -> tuple[jax.Array, jax.Array]:
     """Rasterize each hypothesis directly at crop resolution -> rgb, depth."""
     if renderer in ("pallas", "pallas_interpret"):
+        # spans (8, 3): the crop intrinsics make the object fill the
+        # frame, so faces are large — let them bin to their exact tiles
+        # instead of the every-tile global list (measured ~12% faster
+        # than the sparse-regime (4, 2) default).
         return raster_pallas.render_batch_tri(
             assets_b.tri_pos, assets_b.tri_col, assets_b.tri_nrm,
             poses, ks, out_size, lighting=lighting,
             max_faces_per_tile=max_faces_per_tile,
             interpret=renderer == "pallas_interpret",
+            spans=(8, 3),
         )
     if renderer == "xla":
         return jax.vmap(

@@ -174,3 +174,46 @@ def test_pm_loss_gradients_flow():
 
     g = jax.grad(f)(jnp.array([[1.0, 0, 0, 0, 0, 0, 0]]))
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_stem_s2d_exact_equivalence():
+    """StemConv (space-to-depth conv1) is numerically the plain 7x7/s2 conv.
+
+    Same param tree, same init (identical rng fold path), same outputs at
+    f32 — the fast stem is a pure compile-level rewrite.
+    """
+    m_fast = DeepIMFlowNet(num_classes=2, dtype=jnp.float32, stem_s2d=True)
+    m_ref = DeepIMFlowNet(num_classes=2, dtype=jnp.float32, stem_s2d=False)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, H, W, 6)) - 0.5
+    v_fast = m_fast.init(jax.random.PRNGKey(0), x)
+    v_ref = m_ref.init(jax.random.PRNGKey(0), x)
+    # identical param trees (paths, shapes, and init values)
+    jax.tree.map(np.testing.assert_array_equal, v_fast, v_ref)
+
+    o_fast = m_fast.apply(v_fast, x)
+    o_ref = m_ref.apply(v_ref, x)
+    np.testing.assert_allclose(o_fast["trans"], o_ref["trans"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(o_fast["rot_raw"], o_ref["rot_raw"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        o_fast["mask_logit"], o_ref["mask_logit"], rtol=1e-4, atol=1e-4
+    )
+    for lvl in o_ref["flow"]:
+        np.testing.assert_allclose(
+            o_fast["flow"][lvl], o_ref["flow"][lvl], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_stem_s2d_odd_dims_fallback():
+    """Odd spatial dims take the plain-conv fallback and still match."""
+    from deepim_tpu.models.flownet import Conv, StemConv
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 45, 33, 6))
+    fast = StemConv(64, 7, 2, jnp.float32, name="conv1")
+    ref = Conv(64, 7, 2, jnp.float32, name="conv1")
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    jax.tree.map(np.testing.assert_array_equal, vf, vr)
+    np.testing.assert_allclose(fast.apply(vf, x), ref.apply(vr, x),
+                               rtol=1e-5, atol=1e-5)

@@ -159,7 +159,8 @@ def test_auto_binning_selection(monkeypatch):
 
     calls = []
 
-    def fake_sorted(params, bbox, face_ok, image_size, tile, interpret):
+    def fake_sorted(params, bbox, face_ok, image_size, tile, interpret,
+                    **kw):
         calls.append(("sort", params.shape[1]))
         b = params.shape[0]
         h, w = image_size
