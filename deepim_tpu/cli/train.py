@@ -63,7 +63,8 @@ def load_assets_and_names(cfg, eval_set: bool = False):
     from deepim_tpu.geometry.symmetry import rot_z_syms
 
     def sym_for(n):
-        if n.startswith(("zoo_cyl", "zoo_torus", "zoo_cone", "zoo_capsule")):
+        if n.startswith(("zoo_cyl", "zoo_torus", "zoo_cone", "zoo_capsule",
+                         "zoo_frustum", "zoo_tube")):
             return rot_z_syms(16)
         return sym_table.get(n)
 

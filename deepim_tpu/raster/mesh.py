@@ -254,6 +254,174 @@ def capsule_mesh(radius=0.03, height=0.08, segments=16, rings=6,
     return make_mesh(verts, faces, np.clip(np.asarray(cols), 0, 1))
 
 
+def merge_meshes(meshes: list[Mesh]) -> Mesh:
+    """Concatenate meshes into one (faces re-indexed; normals recomputed).
+
+    Overlapping interior geometry is harmless for z-buffered rendering and
+    surface sampling — used to compose non-convex zoo shapes from boxes.
+    """
+    verts, faces, cols, base = [], [], [], 0
+    for m in meshes:
+        verts.append(m.vertices)
+        faces.append(m.faces + base)
+        cols.append(m.colors)
+        base += m.num_vertices
+    return make_mesh(np.concatenate(verts), np.concatenate(faces),
+                     np.concatenate(cols))
+
+
+def _triangulate_polygon(poly: np.ndarray) -> list[tuple[int, int, int]]:
+    """Ear-clipping triangulation of a simple CCW polygon (O(n^2))."""
+    n = poly.shape[0]
+    idx = list(range(n))
+
+    def cross(o, a, b):
+        return (poly[a, 0] - poly[o, 0]) * (poly[b, 1] - poly[o, 1]) - \
+               (poly[a, 1] - poly[o, 1]) * (poly[b, 0] - poly[o, 0])
+
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n * n:
+        guard += 1
+        n_cur = len(idx)
+        for k in range(n_cur):
+            a, b, c = idx[k - 1], idx[k], idx[(k + 1) % n_cur]
+            if cross(a, b, c) <= 1e-18:  # reflex or degenerate corner
+                continue
+            # ear test: no other polygon vertex strictly inside (a, b, c)
+            ear = True
+            for m in idx:
+                if m in (a, b, c):
+                    continue
+                if (cross(a, b, m) > 0 and cross(b, c, m) > 0
+                        and cross(c, a, m) > 0):
+                    ear = False
+                    break
+            if ear:
+                tris.append((a, b, c))
+                idx.pop(k)
+                break
+        else:  # numerical dead end: fan the rest (star-shaped fallback)
+            break
+    if len(idx) == 3:
+        tris.append(tuple(idx))
+    else:
+        tris += [(idx[0], idx[k], idx[k + 1]) for k in range(1, len(idx) - 1)]
+    return tris
+
+
+def extrude_polygon_mesh(poly_xy, height, color=(0.6, 0.6, 0.8),
+                         cap_shade=(1.15, 0.6)) -> Mesh:
+    """Extrude a simple CCW 2D polygon along z; ear-clipped caps.
+
+    Side shading varies with vertex index and the caps differ in
+    brightness so orientation is observable in renders.
+    """
+    poly = np.asarray(poly_xy, np.float64)
+    n = poly.shape[0]
+    half = height / 2
+    col = np.asarray(color, np.float64)
+    top = np.concatenate([poly, np.full((n, 1), half)], -1)
+    bot = np.concatenate([poly, np.full((n, 1), -half)], -1)
+    verts = np.concatenate([top, bot])
+    shade = (0.65 + 0.35 * np.cos(2 * np.pi * np.arange(n) / n))[:, None]
+    cols = np.concatenate([
+        col * shade * cap_shade[0],  # top ring brighter
+        col * shade * cap_shade[1],  # bottom ring darker
+    ])
+    faces = []
+    for i in range(n):
+        j = (i + 1) % n
+        faces += [(i, n + i, n + j), (i, n + j, j)]  # side wall
+    for a, b, c in _triangulate_polygon(poly):
+        faces.append((a, b, c))                      # top cap
+        faces.append((n + c, n + b, n + a))          # bottom cap
+    return make_mesh(verts, faces, np.clip(cols, 0, 1))
+
+
+def prism_mesh(n_sides=6, rx=0.04, ry=0.04, height=0.1,
+               color=(0.55, 0.45, 0.8)) -> Mesh:
+    """n-gonal prism with (optionally anisotropic) cross-section."""
+    a = 2 * np.pi * np.arange(n_sides) / n_sides
+    poly = np.stack([rx * np.cos(a), ry * np.sin(a)], -1)
+    return extrude_polygon_mesh(poly, height, color)
+
+
+def star_mesh(points=5, r_outer=0.05, r_inner=0.022, height=0.03,
+              color=(0.85, 0.75, 0.25)) -> Mesh:
+    """Extruded star polygon (non-convex silhouette zoo category)."""
+    a = np.pi * np.arange(2 * points) / points
+    r = np.where(np.arange(2 * points) % 2 == 0, r_outer, r_inner)
+    poly = np.stack([r * np.cos(a), r * np.sin(a)], -1)
+    return extrude_polygon_mesh(poly, height, color)
+
+
+def frustum_mesh(r_bottom=0.045, r_top=0.02, height=0.09, segments=24,
+                 color=(0.35, 0.7, 0.65)) -> Mesh:
+    """Truncated cone along z (z-symmetric zoo category)."""
+    a = 2 * np.pi * np.arange(segments) / segments
+    ring = np.stack([np.cos(a), np.sin(a)], -1)
+    half = height / 2
+    top = np.concatenate([ring * r_top, np.full((segments, 1), half)], -1)
+    bot = np.concatenate([ring * r_bottom, np.full((segments, 1), -half)], -1)
+    verts = np.concatenate([top, bot, [[0, 0, half]], [[0, 0, -half]]])
+    col = np.asarray(color, np.float64)
+    cols = np.concatenate([
+        np.tile(col * 1.15, (segments, 1)), np.tile(col * 0.75, (segments, 1)),
+        [col * 1.25], [col * 0.6],
+    ])
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        faces += [(i, segments + i, segments + j), (i, segments + j, j)]
+        faces += [(2 * segments, i, j)]
+        faces += [(2 * segments + 1, segments + j, segments + i)]
+    return make_mesh(verts, faces, np.clip(cols, 0, 1))
+
+
+def tube_mesh(r_outer=0.045, r_inner=0.028, height=0.06, segments=24,
+              color=(0.75, 0.4, 0.3)) -> Mesh:
+    """Hollow cylinder (genus-1: a through-hole, without being a torus).
+
+    The only training-zoo family with non-trivial topology — teaches the
+    unseen-category net that objects can have holes (the eval torus does).
+    """
+    a = 2 * np.pi * np.arange(segments) / segments
+    ring = np.stack([np.cos(a), np.sin(a)], -1)
+    half = height / 2
+    rings = [  # outer-top, outer-bot, inner-top, inner-bot
+        np.concatenate([ring * r_outer, np.full((segments, 1), half)], -1),
+        np.concatenate([ring * r_outer, np.full((segments, 1), -half)], -1),
+        np.concatenate([ring * r_inner, np.full((segments, 1), half)], -1),
+        np.concatenate([ring * r_inner, np.full((segments, 1), -half)], -1),
+    ]
+    verts = np.concatenate(rings)
+    col = np.asarray(color, np.float64)
+    cols = np.concatenate([
+        np.tile(col * 1.1, (segments, 1)), np.tile(col * 0.7, (segments, 1)),
+        np.tile(col * 0.9, (segments, 1)), np.tile(col * 0.55, (segments, 1)),
+    ])
+    ot, ob, it_, ib = 0, segments, 2 * segments, 3 * segments
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        # outer wall (outward), inner wall (inward), top + bottom annuli
+        faces += [(ot + i, ob + i, ob + j), (ot + i, ob + j, ot + j)]
+        faces += [(it_ + i, ib + j, ib + i), (it_ + i, it_ + j, ib + j)]
+        faces += [(ot + i, ot + j, it_ + j), (ot + i, it_ + j, it_ + i)]
+        faces += [(ob + i, ib + j, ob + j), (ob + i, ib + i, ib + j)]
+    return make_mesh(verts, faces, np.clip(cols, 0, 1))
+
+
+def lshape_mesh(leg=0.1, width=0.04, thickness=0.035,
+                color=(0.4, 0.55, 0.85)) -> Mesh:
+    """Extruded L-bracket (non-convex zoo category; ear-clipped caps)."""
+    lg, w = leg, width
+    poly = np.array([(0, 0), (lg, 0), (lg, w), (w, w), (w, lg), (0, lg)],
+                    np.float64) - lg / 2  # AABB-centered
+    return extrude_polygon_mesh(poly, thickness, color)
+
+
 PROCEDURAL_MESHES = {
     "box": box_mesh,
     "icosphere": icosphere_mesh,
@@ -261,10 +429,16 @@ PROCEDURAL_MESHES = {
     "torus": torus_mesh,
     "cone": cone_mesh,
     "capsule": capsule_mesh,
+    "prism": prism_mesh,
+    "star": star_mesh,
+    "frustum": frustum_mesh,
+    "tube": tube_mesh,
+    "lshape": lshape_mesh,
 }
 
 
-ZOO_FAMILIES = ("box", "sphere", "cylinder", "torus", "cone", "capsule")
+ZOO_FAMILIES = ("box", "sphere", "cylinder", "torus", "cone", "capsule",
+                "prism", "star", "frustum", "tube", "lshape")
 
 
 def random_mesh_zoo(n: int, seed: int = 0,
@@ -315,6 +489,35 @@ def random_mesh_zoo(n: int, seed: int = 0,
                              0.04 + 0.08 * rng.rand(),
                              segments=int(12 + 8 * rng.rand()), color=color)
             name = f"zoo_capsule_{i:03d}"
+        elif kind == "prism":
+            m = prism_mesh(int(rng.randint(3, 9)),
+                           0.02 + 0.035 * rng.rand(),
+                           0.02 + 0.035 * rng.rand(),
+                           0.05 + 0.1 * rng.rand(), color=color)
+            name = f"zoo_prism_{i:03d}"
+        elif kind == "star":
+            ro = 0.035 + 0.03 * rng.rand()
+            m = star_mesh(int(rng.randint(4, 8)), ro,
+                          ro * (0.35 + 0.2 * rng.rand()),
+                          0.02 + 0.04 * rng.rand(), color=color)
+            name = f"zoo_star_{i:03d}"
+        elif kind == "frustum":
+            rb = 0.03 + 0.03 * rng.rand()
+            m = frustum_mesh(rb, rb * (0.25 + 0.45 * rng.rand()),
+                             0.05 + 0.08 * rng.rand(),
+                             segments=int(12 + 16 * rng.rand()), color=color)
+            name = f"zoo_frustum_{i:03d}"
+        elif kind == "tube":
+            ro = 0.03 + 0.03 * rng.rand()
+            m = tube_mesh(ro, ro * (0.45 + 0.3 * rng.rand()),
+                          0.03 + 0.08 * rng.rand(),
+                          segments=int(12 + 16 * rng.rand()), color=color)
+            name = f"zoo_tube_{i:03d}"
+        elif kind == "lshape":
+            lg = 0.06 + 0.07 * rng.rand()
+            m = lshape_mesh(lg, lg * (0.25 + 0.2 * rng.rand()),
+                            lg * (0.2 + 0.25 * rng.rand()), color=color)
+            name = f"zoo_lshape_{i:03d}"
         else:
             raise ValueError(f"unknown zoo family {kind!r}")
         zoo[name] = m

@@ -152,6 +152,47 @@ def test_new_zoo_families_render():
     assert all(n.startswith(("zoo_cone", "zoo_capsule")) for n in zoo)
 
 
+def test_extended_zoo_families_render():
+    # prism/star/frustum/tube/lshape (the dense unseen-category zoo):
+    # valid closed meshes agreeing with the oracle; tube has a through-hole.
+    from deepim_tpu.raster.mesh import (
+        frustum_mesh, lshape_mesh, prism_mesh, random_mesh_zoo, star_mesh,
+        tube_mesh,
+    )
+
+    meshes = [prism_mesh(5, 0.04, 0.025, 0.09), star_mesh(),
+              frustum_mesh(), tube_mesh(), lshape_mesh()]
+    for m in meshes:
+        assert m.faces.min() >= 0 and m.faces.max() < m.num_vertices
+        assert np.isfinite(m.normals).all() and np.isfinite(m.vertices).all()
+        assert m.diameter > 0.03
+        # every edge is shared by exactly two faces (closed 2-manifold,
+        # possibly after merging duplicated cap/corner vertices)
+        v_round = np.round(m.vertices, 6)
+        _, inv = np.unique(v_round, axis=0, return_inverse=True)
+        f = inv[m.faces]
+        edges = np.sort(
+            np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+        )
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all(), f"open/duplicated edges: {set(counts)}"
+        _compare(m, _poses(1, seed=9, z=0.45), atol_frac=0.004)
+
+    # the tube renders with a visible hole: a center ray at a face-on pose
+    # hits nothing
+    pose = se3_from_rt(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]))
+    _, d = render_batch(*_args(tube_mesh()), pose[None],
+                        K[None], (H, W), interpret=True)
+    assert float(d[0, H // 2, W // 2]) == 0.0  # background through the hole
+    assert float(jnp.max(d)) > 0.0
+
+    zoo = random_mesh_zoo(18, families=("prism", "star", "frustum", "tube",
+                                        "lshape"))
+    assert len(zoo) == 18
+    assert all(n.startswith(("zoo_prism", "zoo_star", "zoo_frustum",
+                             "zoo_tube", "zoo_lshape")) for n in zoo)
+
+
 def test_auto_binning_selection(monkeypatch):
     # auto -> sorted kernel below the crossover, column kernel above,
     # chunked into <=_FACE_CHUNK launches past the VMEM cap.
