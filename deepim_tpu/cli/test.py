@@ -143,6 +143,29 @@ def main(argv=None):
                 cfg.train.trans_noise_max,
             )
 
+    # Data-parallel eval (reference: tester split test batches over --gpus).
+    # Sharding the batch axis over a ('data',) mesh lets GSPMD partition the
+    # jitted refine loop; params are explicitly replicated over the mesh
+    # (checkpoint restore commits them to device 0, which would otherwise
+    # conflict with mesh-sharded batch inputs).
+    ndev = len(jax.devices())
+    if ndev > 1 and bs % ndev == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        data_mesh = Mesh(np.array(jax.devices()), ("data",))
+        replicated = NamedSharding(data_mesh, PartitionSpec())
+        state = state._replace(
+            params=jax.device_put(state.params, replicated))
+
+        def shard(x):
+            spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(data_mesh, spec))
+
+        print(f"eval data-parallel over {ndev} devices")
+    else:
+        def shard(x):
+            return x
+
     trajs = []
     t0 = time.time()
     for i in range(0, n, bs):
@@ -154,8 +177,8 @@ def main(argv=None):
             from deepim_tpu.refine import refine_multi_hypothesis
 
             best, _ = refine_multi_hypothesis(
-                state.params, model, assets, obs[sl], init[sl], ks[sl],
-                class_idx[sl], jax.random.PRNGKey(17 + i),
+                state.params, model, assets, shard(obs[sl]), shard(init[sl]),
+                shard(ks[sl]), shard(class_idx[sl]), jax.random.PRNGKey(17 + i),
                 num_hypotheses=args.hypotheses,
                 num_iters=cfg.test.test_iter, out_size=out_size,
                 renderer=cfg.test.renderer,
@@ -164,8 +187,9 @@ def main(argv=None):
             continue
         trajs.append(
             refine_poses(
-                state.params, model, assets, obs[sl], init[sl], ks[sl],
-                class_idx[sl], num_iters=cfg.test.test_iter,
+                state.params, model, assets, shard(obs[sl]), shard(init[sl]),
+                shard(ks[sl]), shard(class_idx[sl]),
+                num_iters=cfg.test.test_iter,
                 out_size=out_size, renderer=cfg.test.renderer,
                 return_all=True,
             )

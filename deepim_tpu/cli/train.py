@@ -69,8 +69,9 @@ def load_assets_and_names(cfg, eval_set: bool = False):
         return sym_table.get(n)
 
     syms = [sym_for(n) for n in names]
+    use_tex = {"auto": None, "on": True, "off": False}[d.use_textures]
     assets = build_assets(meshes, sym_transforms=syms,
-                          num_points=d.num_points)
+                          num_points=d.num_points, use_textures=use_tex)
     return assets, names, [s is not None for s in syms]
 
 

@@ -111,6 +111,11 @@ class DatasetConfig:
     cy: float = 242.0490
     max_faces: int = 4096  # decimation budget per mesh
     num_points: int = 3000  # PM-loss / metric point samples
+    # Per-pixel texture sampling for textured meshes (YCB-style): "auto"
+    # uses the deferred-texturing raster path when meshes carry textures,
+    # "off" forces baked vertex colors (cheaper; no per-pixel texture
+    # gather), "on" requires textures.
+    use_textures: str = "auto"  # auto | on | off
     znear: float = 0.25
     zfar: float = 6.0
 

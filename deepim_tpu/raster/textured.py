@@ -103,6 +103,39 @@ def sample_texture_bilinear(texture: jax.Array, u: jax.Array,
     return top * (1 - fy) + bot * fy
 
 
+def sample_texture_atlas(textures: jax.Array, tex_idx: jax.Array,
+                         u: jax.Array, v: jax.Array) -> jax.Array:
+    """Per-sample bilinear taps into a class atlas (C, Th, Tw, 3).
+
+    ``tex_idx`` (B,) selects each sample's texture by flat-index offset —
+    no (B, Th, Tw, 3) gathered copy is materialized (RenderAssets keeps
+    the atlas with its class axis; see refiner.gather_class).
+    ``u``/``v`` are (B, ...) in [0, 1].
+    """
+    c, h, w = textures.shape[0], textures.shape[1], textures.shape[2]
+    x = jnp.clip(u, 0.0, 1.0) * (w - 1)
+    y = (1.0 - jnp.clip(v, 0.0, 1.0)) * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    flat = textures.reshape(c * h * w, -1)
+    base = tex_idx.astype(jnp.int32).reshape(
+        (-1,) + (1,) * (u.ndim - 1)
+    ) * (h * w)
+
+    def tap(yy, xx):
+        return jnp.take(flat, base + yy * w + xx, axis=0)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
+    bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("image_size", "z_near", "interpret", "binning"),
@@ -114,11 +147,13 @@ def render_batch_textured(
     poses: jax.Array,  # (B, 3, 4)
     ks: jax.Array,  # (B, 3, 3)
     image_size: tuple[int, int],
-    texture: jax.Array,  # (Th, Tw, 3) shared or (B, Th, Tw, 3) per-sample
+    texture: jax.Array,  # (Th, Tw, 3) shared, (B, Th, Tw, 3) per-sample,
+    #                      or (C, Th, Tw, 3) atlas with tex_idx (B,)
     lighting: Lighting = FLAT_LIGHTING,
     z_near: float = 0.01,
     interpret: bool = False,
     binning: str = "auto",
+    tex_idx: jax.Array | None = None,  # (B,) class index into the atlas
 ) -> tuple[jax.Array, jax.Array]:
     """Textured render -> (rgb (B, H, W, 3), depth (B, H, W)).
 
@@ -134,7 +169,9 @@ def render_batch_textured(
     uvi, depth = _render_dispatch(params, bbox, face_ok, image_size,
                                   (32, 256), 512, interpret, binning)
     u, v, intensity = uvi[..., 0], uvi[..., 1], uvi[..., 2]
-    if texture.ndim == 4:
+    if texture.ndim == 4 and tex_idx is not None:
+        albedo = sample_texture_atlas(texture, tex_idx, u, v)
+    elif texture.ndim == 4:
         albedo = jax.vmap(sample_texture_bilinear)(texture, u, v)
     else:
         albedo = sample_texture_bilinear(texture, u, v)

@@ -56,16 +56,40 @@ class RenderAssets(NamedTuple):
     tri_pos: jax.Array  # (C, 9, F) object-frame corner positions
     tri_col: jax.Array  # (C, 9, F) corner colors
     tri_nrm: jax.Array  # (C, 9, F) corner normals
+    # Optional per-pixel texturing (YCB-style scanned meshes; the reference
+    # samples textures in its GLSL fragment shader).  When present,
+    # render_crops uses the deferred-texturing raster path; otherwise
+    # tri_col carries baked/vertex colors.  UVs are rescaled at build time
+    # into the padded texture atlas frame.
+    tri_uv: jax.Array | None = None  # (C, 6, F) corner-major UVs
+    textures: jax.Array | None = None  # (C, Th, Tw, 3) padded stack
+    # Class index into `textures`.  gather_class maps it to the batch like
+    # every other field but leaves `textures` with its class axis — the
+    # deferred pass indexes the atlas per sample instead of materializing
+    # (B, Th, Tw, 3) gathered copies in HBM.
+    tex_idx: jax.Array | None = None  # (C,) -> per-sample (B,) after gather
 
     @property
     def num_classes(self) -> int:
         return self.vertices.shape[0]
 
+    @property
+    def textured(self) -> bool:
+        return self.textures is not None
+
 
 def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
                  max_vertices: int | None = None, max_faces: int | None = None,
-                 max_syms: int | None = None) -> RenderAssets:
-    """Stack host Mesh objects into a RenderAssets (pads to shared budgets)."""
+                 max_syms: int | None = None,
+                 use_textures: bool | None = None) -> RenderAssets:
+    """Stack host Mesh objects into a RenderAssets (pads to shared budgets).
+
+    ``use_textures``: None (default) auto-enables per-pixel texturing when
+    any mesh carries a texture; False forces baked vertex colors (cheaper:
+    no deferred texture gather per rendered pixel); True requires at least
+    one textured mesh.  Untextured meshes in a textured set get a constant
+    texture at their mean vertex color.
+    """
     import numpy as np
 
     from deepim_tpu.geometry.symmetry import sym_set
@@ -106,13 +130,67 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
         tri_nrm=jnp.asarray(np.stack(
             [p.normals[p.faces].reshape(-1, 9).T for p in padded]
         )),
+        **_texture_fields(meshes, padded, use_textures),
     )
+
+
+def _texture_fields(meshes, padded, use_textures):
+    """Build the optional (tri_uv, textures) stacks for textured meshes.
+
+    Each texture lands at the top-left of a (maxTh, maxTw) canvas and the
+    mesh UVs are rescaled so ``sample_texture_bilinear``'s pixel mapping
+    (x = u*(W-1), y = (1-v)*(H-1)) hits the same texels as before padding.
+    """
+    import numpy as np
+
+    have = any(m.texture is not None for m in meshes)
+    if use_textures is None:
+        use_textures = have
+    if not use_textures:
+        return {}
+    if not have:
+        raise ValueError("use_textures=True but no mesh has a texture")
+
+    texs = []
+    for m in meshes:
+        if m.texture is not None:
+            texs.append(np.asarray(m.texture[..., :3], np.float32))
+        else:
+            mean = m.colors.mean(0).astype(np.float32)
+            texs.append(np.broadcast_to(mean, (2, 2, 3)).copy())
+    th = max(t.shape[0] for t in texs)
+    tw = max(t.shape[1] for t in texs)
+    canvas, uvs = [], []
+    for m, p, t in zip(meshes, padded, texs):
+        c = np.zeros((th, tw, 3), np.float32)
+        c[: t.shape[0], : t.shape[1]] = t
+        canvas.append(c)
+        if m.uv is not None and m.texture is not None:
+            uv = np.concatenate(
+                [m.uv, np.zeros((p.num_vertices - m.num_vertices, 2),
+                                np.float32)]
+            )
+        else:
+            uv = np.full((p.num_vertices, 2), 0.5, np.float32)
+        su = (t.shape[1] - 1) / max(tw - 1, 1)
+        sv = (t.shape[0] - 1) / max(th - 1, 1)
+        uv = np.stack([uv[:, 0] * su, 1.0 - (1.0 - uv[:, 1]) * sv], 1)
+        uvs.append(uv[p.faces].reshape(-1, 6).T.copy())
+    return {
+        "tri_uv": jnp.asarray(np.stack(uvs)),
+        "textures": jnp.asarray(np.stack(canvas)),
+        "tex_idx": jnp.arange(len(meshes), dtype=jnp.int32),
+    }
 
 
 def gather_class(assets: RenderAssets, class_idx: jax.Array) -> RenderAssets:
     """Per-sample asset views: class axis C -> batch axis B via gather."""
     idx = class_idx.astype(jnp.int32)
-    return RenderAssets(*(jnp.take(a, idx, axis=0) for a in assets))
+    return assets._replace(**{
+        f: None if a is None else jnp.take(a, idx, axis=0)
+        for f, a in zip(assets._fields, assets)
+        if f != "textures"
+    })
 
 
 def render_crops(
@@ -124,7 +202,22 @@ def render_crops(
     max_faces_per_tile: int = 512,
     lighting: raster_xla.Lighting = raster_xla.FLAT_LIGHTING,
 ) -> tuple[jax.Array, jax.Array]:
-    """Rasterize each hypothesis directly at crop resolution -> rgb, depth."""
+    """Rasterize each hypothesis directly at crop resolution -> rgb, depth.
+
+    Textured asset sets (``assets_b.textured``) render through the
+    deferred-texturing path (raster interpolates UV+intensity, then one
+    bilinear texture gather per pixel — the reference's GLSL fragment-
+    shader sampling).  The XLA oracle renderer always uses baked colors.
+    """
+    if assets_b.textured and renderer in ("pallas", "pallas_interpret"):
+        from deepim_tpu.raster.textured import render_batch_textured
+
+        return render_batch_textured(
+            assets_b.tri_pos, assets_b.tri_uv, assets_b.tri_nrm,
+            poses, ks, out_size, assets_b.textures, lighting=lighting,
+            interpret=renderer == "pallas_interpret",
+            tex_idx=assets_b.tex_idx,
+        )
     if renderer in ("pallas", "pallas_interpret"):
         # spans (8, 3): the crop intrinsics make the object fill the
         # frame, so faces are large — let them bin to their exact tiles

@@ -163,3 +163,33 @@ def test_multi_hypothesis_selects_best(assets):
     assert best.shape == (2, 3, 4) and scores.shape == (2, 3)
     # identity net: hypothesis 0 (exact GT init) must win
     np.testing.assert_allclose(np.asarray(best), np.asarray(gt), atol=1e-4)
+
+
+def test_refine_poses_sharded_matches_single(assets):
+    """Sharding the batch axis over the 8-device mesh (the cli.test
+    data-parallel eval path) gives the same refined poses as one device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    b = 8
+    key = jax.random.PRNGKey(11)
+    obs = jax.random.uniform(key, (b, 96, 160, 3))
+    init = jnp.stack([_pose(0.1 * i, tz=0.6 + 0.02 * i) for i in range(b)])
+    k = jnp.tile(jnp.asarray(K_CAM)[None], (b, 1, 1))
+    cls = jnp.asarray(np.arange(b) % 2)
+
+    ref = refine_poses(variables, model, assets, obs, init, k, cls,
+                       num_iters=2, out_size=(H, W), renderer="xla")
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    def shard(x):
+        spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = refine_poses(variables, model, assets, shard(obs), shard(init),
+                       shard(k), shard(cls), num_iters=2, out_size=(H, W),
+                       renderer="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
