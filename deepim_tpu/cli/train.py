@@ -49,11 +49,23 @@ def load_assets_and_names(cfg, eval_set: bool = False):
         from deepim_tpu.raster.mesh import ZOO_FAMILIES, random_mesh_zoo
 
         fams = tuple(d.zoo_families) or ZOO_FAMILIES
-        zoo = random_mesh_zoo(d.zoo_size, d.zoo_seed, fams)
+        zoo = random_mesh_zoo(d.zoo_size, d.zoo_seed, fams,
+                              texture_prob=d.texture_prob)
         names = list(zoo)
         meshes = [zoo[n] for n in names]
     elif d.name.startswith("synthetic") or d.name == "modelnet":
         meshes = [PROCEDURAL_MESHES[n]() for n in names]
+        if d.texture_prob > 0.0:
+            import numpy as np
+
+            from deepim_tpu.raster.mesh import texturize
+
+            rng_tex = np.random.RandomState(d.zoo_seed)
+            meshes = [
+                texturize(m, d.zoo_seed * 100003 + i)
+                if rng_tex.rand() < d.texture_prob else m
+                for i, m in enumerate(meshes)
+            ]
     else:
         from deepim_tpu.data.lm6d import LM6DDataset
 

@@ -116,6 +116,11 @@ class DatasetConfig:
     # "off" forces baked vertex colors (cheaper; no per-pixel texture
     # gather), "on" requires textures.
     use_textures: str = "auto"  # auto | on | off
+    # Fraction of procedural/zoo meshes that get a random procedural
+    # texture + planar UVs (YCB-scanned-mesh stand-in; the sandbox has no
+    # real textured assets).  With use_textures "auto"/"on" these train
+    # and evaluate through the per-pixel deferred-texturing raster path.
+    texture_prob: float = 0.0
     znear: float = 0.25
     zfar: float = 6.0
 
