@@ -64,6 +64,11 @@ class LM6DDataset:
         return os.path.join(self.root, "image_set", "observed",
                             f"{obj}_{split}.txt")
 
+    def _ren(self, obj: str, scene: str, frame: str, idx: int,
+             suffix: str) -> str:
+        return os.path.join(self.root, "data", "rendered", obj, scene,
+                            f"{frame}_{idx}-{suffix}")
+
     # -- loading ---------------------------------------------------------------
 
     def load_meshes(self, max_faces: int | None = None):
@@ -132,6 +137,26 @@ class LM6DDataset:
             mask = depth > 0
         return {"obs_rgb": rgb, "obs_depth": depth, "obs_mask": mask}
 
+    def load_rendered(self, rec: FrameRecord, idx: int = 0) -> dict:
+        """Pre-rendered perturbed view of ``rec``'s frame (written by
+        ``toolkit.gen_rendered``) -> RGB [0,1], depth (m), src pose."""
+        rgb = self._read_image(
+            self._ren(rec.obj, rec.scene, rec.frame, idx, "color.png")
+        ).astype(np.float32) / 255.0
+        depth = self._read_image(
+            self._ren(rec.obj, rec.scene, rec.frame, idx, "depth.png")
+        ).astype(np.float32) / DEPTH_FACTOR
+        pose = np.loadtxt(
+            self._ren(rec.obj, rec.scene, rec.frame, idx, "pose.txt"),
+            dtype=np.float32,
+        ).reshape(3, 4)
+        return {"ren_rgb": rgb, "ren_depth": depth, "pose_src": pose}
+
+    def has_rendered(self, rec: FrameRecord, idx: int = 0) -> bool:
+        return os.path.exists(
+            self._ren(rec.obj, rec.scene, rec.frame, idx, "pose.txt")
+        )
+
     # -- writing (toolkit/ prep-script parity + test fixtures) -----------------
 
     def write_model(self, obj: str, mesh) -> None:
@@ -165,6 +190,20 @@ class LM6DDataset:
         with open(path, "w") as f:
             for scene, frame in frames:
                 f.write(f"{scene}/{frame}\n")
+
+    def write_rendered(self, obj: str, scene: str, frame: str, idx: int,
+                       rgb: np.ndarray, depth: np.ndarray,
+                       pose: np.ndarray) -> None:
+        d = os.path.join(self.root, "data", "rendered", obj, scene)
+        os.makedirs(d, exist_ok=True)
+        Image.fromarray(
+            np.clip(rgb * 255, 0, 255).astype(np.uint8)
+        ).save(self._ren(obj, scene, frame, idx, "color.png"))
+        Image.fromarray(
+            (depth * DEPTH_FACTOR).astype(np.uint16)
+        ).save(self._ren(obj, scene, frame, idx, "depth.png"))
+        np.savetxt(self._ren(obj, scene, frame, idx, "pose.txt"),
+                   np.asarray(pose, np.float32))
 
     def write_init_poses(self, obj: str, split: str,
                          poses: np.ndarray) -> None:

@@ -89,6 +89,62 @@ def gen_observed(
     return ds
 
 
+def gen_rendered(
+    ds: LM6DDataset,
+    meshes: dict[str, Mesh],
+    k: np.ndarray,  # (3, 3)
+    image_size: tuple[int, int],
+    split: str = "train",
+    per_frame: int = 1,
+    noise: tuple[float, float] = (15.0, 0.05),  # (deg std, m std)
+    seed: int = 0,
+) -> int:
+    """Pre-render perturbed-pose views for every frame of ``split`` and
+    write them under ``data/rendered/<obj>/<scene>/<frame>_<i>-*``.
+
+    Rebuild of the reference's ``gen_rendered``-style prep (sample poses
+    around GT per cfg noise, render, store image+depth+pose).  The online
+    training path supersedes this on TPU — pairs are re-rendered in-graph
+    every step, so each epoch sees fresh perturbations — but the on-disk
+    form remains useful for inspection, external tooling, and parity with
+    the reference's data layout.  Returns the number of renders written.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepim_tpu.data.pairs import perturb_poses
+    from deepim_tpu.refine import build_assets, gather_class
+    from deepim_tpu.refine.refiner import render_crops
+
+    objects = list(meshes)
+    assets = build_assets([meshes[o] for o in objects], num_points=256)
+    kj = jnp.asarray(k, jnp.float32)
+    written = 0
+    for ci, obj in enumerate(objects):
+        recs = ds.gt_roidb(obj, split)
+        if not recs:
+            continue
+        gt = jnp.asarray(np.stack([r.pose for r in recs]))
+        for i in range(per_frame):
+            key = jax.random.PRNGKey(seed * 1000003 + ci * 1009 + i)
+            src = perturb_poses(
+                key, gt, rot_std_deg=noise[0], rot_max_deg=45.0,
+                trans_std=(noise[1],) * 3, trans_max=(0.1, 0.1, 0.2),
+            )
+            cls = jnp.full((len(recs),), ci, jnp.int32)
+            ab = gather_class(assets, cls)
+            ks = jnp.tile(kj[None], (len(recs), 1, 1))
+            rgb, depth = render_crops(ab, src, ks, image_size,
+                                      renderer="xla")
+            rgb, depth = np.asarray(rgb), np.asarray(depth)
+            src_np = np.asarray(src)
+            for fi, rec in enumerate(recs):
+                ds.write_rendered(obj, rec.scene, rec.frame, i,
+                                  rgb[fi], depth[fi], src_np[fi])
+                written += 1
+    return written
+
+
 def gen_procedural_dataset(root: str, objects: list[str], k: np.ndarray,
                            image_size: tuple[int, int],
                            frames_per_obj: int = 20, seed: int = 0

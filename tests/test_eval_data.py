@@ -111,6 +111,31 @@ def test_lm6d_eval_arrays_padding(disk_ds):
     np.testing.assert_allclose(arrs["pose_gt"][0], recs[0].pose, rtol=1e-6)
 
 
+def test_gen_rendered_roundtrip(disk_ds):
+    """gen_rendered writes perturbed pair renders readable via the layout,
+    consistent with the stored src pose (depth median ~ pose z)."""
+    from deepim_tpu.data.toolkit import gen_rendered
+    from deepim_tpu.raster.mesh import PROCEDURAL_MESHES
+
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    meshes = {n: PROCEDURAL_MESHES[n]() for n in ["box", "icosphere"]}
+    n = gen_rendered(ds, meshes, K_CAM, (H, W), split="train",
+                     per_frame=2, seed=1)
+    recs = ds.gt_roidb("box", "train")
+    assert n == 2 * 2 * len(recs)  # objects x per_frame x train frames
+    rec = recs[0]
+    assert ds.has_rendered(rec, 0) and ds.has_rendered(rec, 1)
+    r = ds.load_rendered(rec, 1)
+    assert r["ren_rgb"].shape == (H, W, 3)
+    mask = r["ren_depth"] > 0
+    assert mask.sum() > 0
+    # perturbed, not the GT pose — and depth consistent with the src pose
+    assert np.abs(r["pose_src"] - rec.pose).max() > 1e-4
+    z = r["pose_src"][2, 3]
+    d = r["ren_depth"][mask]
+    assert abs(float(np.median(d)) - z) < 0.12
+
+
 def test_lm6d_depth_consistency(disk_ds):
     """Written depth pngs decode to the rendered metric depth within 1mm."""
     ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
