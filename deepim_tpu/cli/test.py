@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--hypotheses", type=int, default=1,
                    help=">1: multi-hypothesis refinement with render-"
                         "agreement selection (occlusion protocol)")
+    p.add_argument("--coarse-iters", type=int, default=-1,
+                   help="override cfg.test.coarse_iters (coarse-to-fine "
+                        "schedule A/B; -1 = use the config value)")
     return p.parse_args(argv)
 
 
@@ -185,6 +188,11 @@ def main(argv=None):
             )
             trajs.append(jnp.stack([init[sl], best]))
             continue
+        n_cfg = cfg.network
+        coarse_size = ((n_cfg.coarse_height, n_cfg.coarse_width)
+                       if n_cfg.coarse_height else None)
+        coarse_iters = (cfg.test.coarse_iters if args.coarse_iters < 0
+                        else args.coarse_iters)
         trajs.append(
             refine_poses(
                 state.params, model, assets, shard(obs[sl]), shard(init[sl]),
@@ -192,6 +200,8 @@ def main(argv=None):
                 num_iters=cfg.test.test_iter,
                 out_size=out_size, renderer=cfg.test.renderer,
                 return_all=True,
+                coarse_iters=coarse_iters,
+                coarse_size=coarse_size,
             )
         )
     traj = jnp.concatenate(trajs, axis=1)  # (iters+1, n, 3, 4)

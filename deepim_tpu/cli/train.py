@@ -139,6 +139,22 @@ def main(argv=None):
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
     syn_step = make_synthetic_train_step(model, assets, cfg, k_cam,
                                          mesh=mesh)
+    syn_step_coarse = None
+    if cfg.train.coarse_fraction > 0:
+        # Mixed-resolution training: some steps run the whole synthesize+
+        # train step at the coarse crop size, so the shared flatten head
+        # (models.flownet head_grid) also sees coarse-resolution features
+        # — required for the coarse-to-fine eval schedule.
+        import dataclasses
+
+        nw = cfg.network
+        cfg_c = dataclasses.replace(cfg, network=dataclasses.replace(
+            nw,
+            input_height=nw.coarse_height or nw.input_height // 2,
+            input_width=nw.coarse_width or nw.input_width // 2,
+        ))
+        syn_step_coarse = make_synthetic_train_step(model, assets, cfg_c,
+                                                    k_cam, mesh=mesh)
     batcher = disk_step = None
     if d.name.startswith("lm6d") or d.name == "ycb":
         # On-disk training (reference TrainDataLoader flow): shuffled
@@ -178,14 +194,18 @@ def main(argv=None):
             }
             return disk_step(state, batch)
 
+    def frac_hit(frac, it):
+        # Deterministic interleave at a configured fraction (host-side
+        # counter: reading state.step would sync every step).
+        return (int(frac * (it + 1)) - int(frac * it)) == 1
+
     def step_fn(state, sub, it):
-        if batcher is None:
-            return syn_step(state, sub)
-        # Deterministic real/syn interleave at the configured fraction
-        # (host-side counter: reading state.step would sync every step).
-        syn = (int(cfg.train.syn_fraction * (it + 1))
-               - int(cfg.train.syn_fraction * it)) == 1
-        return syn_step(state, sub) if syn else run_disk_step(state, sub)
+        if batcher is not None and not frac_hit(cfg.train.syn_fraction, it):
+            return run_disk_step(state, sub)
+        if syn_step_coarse is not None and \
+                frac_hit(cfg.train.coarse_fraction, it):
+            return syn_step_coarse(state, sub)
+        return syn_step(state, sub)
 
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     t_last = time.time()

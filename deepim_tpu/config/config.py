@@ -42,6 +42,12 @@ class NetworkConfig:
     input_height: int = 480  # network input after dynamic zoom
     input_width: int = 640
     dtype: str = "bfloat16"  # compute dtype ("float32" for CPU tests)
+    # Coarse-to-fine refinement: resolution for the first
+    # ``test.coarse_iters`` refine iterations (0 = half of input_*).  The
+    # flatten pose head is shared across resolutions by resizing the
+    # bottleneck to the full-resolution grid (models.flownet head_grid).
+    coarse_height: int = 0
+    coarse_width: int = 0
 
 
 @dataclass
@@ -66,6 +72,10 @@ class TrainConfig:
     # pairs instead of disk frames (reference merges real + syn roidbs).
     syn_fraction: float = 0.5
     train_iter: int = 1  # iterative training (reference update_data_batch)
+    # Fraction of synthetic train steps run at the coarse resolution
+    # (network.coarse_height/width) so one checkpoint serves the
+    # coarse-to-fine eval schedule (test.coarse_iters).  0 = all full-res.
+    coarse_fraction: float = 0.0
     w_pm: float = 1.0
     w_flow: float = 0.1
     w_mask: float = 0.1
@@ -79,6 +89,9 @@ class TrainConfig:
 @dataclass
 class TestConfig:
     test_iter: int = 4  # reference cfg.TEST.test_iter
+    # Run the first N of test_iter iterations at the coarse resolution
+    # (network.coarse_height/width); 0 = all iterations at full res.
+    coarse_iters: int = 0
     batch_size: int = 16
     renderer: str = "pallas"
     init: str = "perturb"  # "perturb" (noisy GT) | "posecnn" (external init)

@@ -206,6 +206,15 @@ class DeepIMFlowNet(nn.Module):
     # a future variant where the zoom/render producers emit the s2d layout
     # directly.
     stem_s2d: bool = False
+    # Fixed bottleneck grid for the flatten pose head.  When set, a
+    # bottleneck whose spatial dims differ (the network ran at a coarser
+    # input resolution) is bilinearly resized to this grid before the
+    # flatten, so ONE fc1 weight matrix serves every resolution — the
+    # coarse-to-fine refinement schedule (early refine iterations at half
+    # resolution) shares all parameters with the full-resolution model and
+    # loads its checkpoints unchanged.  None = plain flatten (the exact
+    # reference head).
+    head_grid: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -264,6 +273,12 @@ class DeepIMFlowNet(nn.Module):
 
         # --- pose head (reference: flatten conv6_1 → FC1024 → FC1024) ---
         if self.pose_head == "flatten":
+            if (self.head_grid is not None
+                    and c6.shape[1:3] != tuple(self.head_grid)):
+                c6 = jax.image.resize(
+                    c6, (c6.shape[0], *self.head_grid, c6.shape[3]),
+                    method="bilinear",
+                )
             h = c6.reshape(c6.shape[0], -1)
         elif self.pose_head == "gap":
             h = jnp.mean(c6, axis=(1, 2))
@@ -300,6 +315,11 @@ class DeepIMFlowNet(nn.Module):
             self.trans_scale, jnp.float32
         )
         return out
+
+
+def bottleneck_grid(input_height: int, input_width: int) -> tuple[int, int]:
+    """Spatial dims of conv6_1 for a given input (six SAME stride-2 convs)."""
+    return (-(-input_height // 64), -(-input_width // 64))
 
 
 def select_class(per_class: jax.Array, class_idx: jax.Array) -> jax.Array:

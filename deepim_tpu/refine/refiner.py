@@ -356,7 +356,8 @@ def refine_step(
 @partial(
     jax.jit,
     static_argnames=("model", "num_iters", "out_size", "renderer",
-                     "zoom_margin", "return_all"),
+                     "zoom_margin", "return_all", "coarse_iters",
+                     "coarse_size"),
 )
 def refine_poses(
     variables,
@@ -372,6 +373,8 @@ def refine_poses(
     zoom_margin: float = 1.4,
     return_all: bool = False,
     obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
+    coarse_iters: int = 0,
+    coarse_size: tuple[int, int] | None = None,
 ) -> jax.Array:
     """K-iteration refinement (reference ``cfg.TEST.test_iter=4``) -> (B, 3, 4).
 
@@ -380,17 +383,39 @@ def refine_poses(
     chips (hypotheses are embarrassingly parallel).  With ``return_all``,
     returns every intermediate estimate (num_iters+1, B, 3, 4) — the
     reference's per-iteration eval tables need them.
+
+    ``coarse_iters`` > 0 runs the FIRST that many iterations at
+    ``coarse_size`` (default: half of ``out_size``) — a coarse-to-fine
+    schedule.  Early iterations only correct gross pose error, so a
+    quarter-cost render+CNN suffices; the final iterations polish at full
+    resolution.  Requires ``model.head_grid`` to be set (one shared
+    flatten head across resolutions).
     """
     assets_b = gather_class(assets, class_idx)
 
-    def step(pose, _):
-        outs = refine_step(
-            variables, model, assets_b, obs_rgb, pose, k, class_idx,
-            out_size, renderer, zoom_margin, obs_mask=obs_mask,
-        )
-        return outs.pose, outs.pose if return_all else None
+    def make_step(size):
+        def step(pose, _):
+            outs = refine_step(
+                variables, model, assets_b, obs_rgb, pose, k, class_idx,
+                size, renderer, zoom_margin, obs_mask=obs_mask,
+            )
+            return outs.pose, outs.pose if return_all else None
+        return step
 
-    pose, traj = jax.lax.scan(step, init_pose, None, length=num_iters)
+    pose = init_pose
+    trajs = [init_pose[None]]
+    coarse_iters = min(coarse_iters, num_iters)
+    if coarse_iters > 0:
+        c_size = coarse_size or (out_size[0] // 2, out_size[1] // 2)
+        pose, traj_c = jax.lax.scan(make_step(c_size), pose, None,
+                                    length=coarse_iters)
+        if return_all:
+            trajs.append(traj_c)
+    if num_iters > coarse_iters:
+        pose, traj_f = jax.lax.scan(make_step(out_size), pose, None,
+                                    length=num_iters - coarse_iters)
+        if return_all:
+            trajs.append(traj_f)
     if return_all:
-        return jnp.concatenate([init_pose[None], traj], axis=0)
+        return jnp.concatenate(trajs, axis=0)
     return pose

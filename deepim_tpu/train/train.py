@@ -34,6 +34,7 @@ from deepim_tpu.losses.losses import (
 )
 from deepim_tpu.models.flownet import (
     DeepIMFlowNet,
+    bottleneck_grid,
     decode_rot,
     network_input,
     select_class,
@@ -61,6 +62,10 @@ def make_model(cfg: Config, num_classes: int) -> DeepIMFlowNet:
         fc_dim=n.fc_dim,
         input_mask=n.input_mask,
         dtype=jnp.bfloat16 if n.dtype == "bfloat16" else jnp.float32,
+        # Pin the flatten head to the full-resolution bottleneck grid so
+        # the same checkpoint serves coarse-resolution refine iterations
+        # (no-op at full resolution).
+        head_grid=bottleneck_grid(n.input_height, n.input_width),
     )
 
 

@@ -243,3 +243,41 @@ def test_train_batcher_epochs(disk_ds):
     # two epochs worth of draws cover both classes repeatedly
     cls = np.concatenate(seen)
     assert (cls == 0).sum() > 0 and (cls == 1).sum() > 0
+
+
+@pytest.mark.slow
+def test_cli_train_and_test_coarse_to_fine(tmp_path):
+    """Mixed-resolution training + coarse-first eval schedule: half the
+    train steps run at the coarse crop size through the shared flatten
+    head (head_grid), and eval runs iteration 1 coarse / iteration 2 full."""
+    import yaml
+
+    from deepim_tpu.cli import test as cli_test
+    from deepim_tpu.cli import train as cli_train
+
+    cfg = {
+        "experiment": "toy_c2f",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False,
+                    "coarse_height": H // 2, "coarse_width": W // 2},
+        "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "train": {"batch_size": 8, "num_steps": 4, "renderer": "xla",
+                  "optimizer": "adam", "lr": 1e-4, "log_every": 2,
+                  "checkpoint_every": 4, "warmup_steps": 0,
+                  "w_flow": 0.0, "w_mask": 0.0, "coarse_fraction": 0.5},
+        "test": {"test_iter": 2, "coarse_iters": 1, "batch_size": 8,
+                 "renderer": "xla"},
+    }
+    cfg_path = str(tmp_path / "toy_c2f.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    assert cli_train.main(["--cfg", cfg_path, "--n-devices", "1"]) == 0
+    assert cli_test.main(["--cfg", cfg_path, "--num-samples", "8"]) == 0
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "out"), "toy_c2f", "eval_results.json")
+    )

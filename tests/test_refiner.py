@@ -193,3 +193,49 @@ def test_refine_poses_sharded_matches_single(assets):
                        shard(k), shard(cls), num_iters=2, out_size=(H, W),
                        renderer="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_coarse_to_fine_schedule(assets):
+    """Coarse-first schedule: shared flatten head across resolutions.
+
+    With head_grid pinned to the fine bottleneck grid, one parameter set
+    serves both resolutions (identity-init net → poses pass through at
+    every stage), and return_all stacks coarse + fine trajectories.
+    """
+    from deepim_tpu.models import bottleneck_grid
+
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False,
+                          head_grid=bottleneck_grid(H, W))
+    x = jnp.zeros((1, H, W, 6))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # The same params must apply cleanly at the coarse resolution.
+    out_c = model.apply(variables, jnp.zeros((1, H // 2, W // 2, 6)))
+    assert out_c["trans"].shape == (1, 2, 3)
+
+    obs = jnp.zeros((2, 96, 160, 3))
+    init = jnp.stack([_pose(0.3), _pose(-0.2, tx=0.05)])
+    k = jnp.tile(jnp.asarray(K_CAM)[None], (2, 1, 1))
+    traj = refine_poses(
+        variables, model, assets, obs, init, k, jnp.array([0, 1]),
+        num_iters=4, out_size=(H, W), renderer="xla", return_all=True,
+        coarse_iters=2,
+    )
+    assert traj.shape == (5, 2, 3, 4)
+    np.testing.assert_allclose(traj[-1], init, atol=1e-5)
+
+
+def test_head_grid_noop_at_native_resolution(assets):
+    """head_grid == native grid -> bitwise-identical params AND outputs."""
+    from deepim_tpu.models import bottleneck_grid
+
+    kwargs = dict(num_classes=2, dtype=jnp.float32, with_flow=False,
+                  with_mask=False)
+    m_plain = DeepIMFlowNet(**kwargs)
+    m_grid = DeepIMFlowNet(**kwargs, head_grid=bottleneck_grid(H, W))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, H, W, 6))
+    v = m_plain.init(jax.random.PRNGKey(0), x)
+    out_a = m_plain.apply(v, x)
+    out_b = m_grid.apply(v, x)
+    np.testing.assert_array_equal(out_a["rot_raw"], out_b["rot_raw"])
+    np.testing.assert_array_equal(out_a["trans"], out_b["trans"])
