@@ -11,6 +11,11 @@ Usage:
     python tools/supervise_train.py --cfg experiments/cfgs/foo.yaml \
         [--stale-sec 600] [--log /tmp/train_foo.log] [-- extra cli args]
 
+Relaunches are gated on a device-liveness probe: the axon tunnel can go
+down for tens of minutes (server-side), and relaunching into a dead
+backend burns a restart budget slot plus a full jit recompile each time.
+Probe failures wait, they don't count as restarts.
+
 Exits 0 when the training run prints its completion line.
 """
 
@@ -24,6 +29,49 @@ import sys
 import time
 
 DONE_MARKER = "done; checkpoints"
+
+# Tiny device round-trip: init the backend, one matmul, one scalar
+# device->host read (block_until_ready alone has returned early over
+# the tunnel).  Runs in a subprocess so a wedged backend can be timed
+# out without poisoning the supervisor's own process.
+PROBE_SRC = (
+    # Re-assert JAX_PLATFORMS via config.update: the sandbox's
+    # sitecustomize clobbers the env-var choice when it registers the
+    # axon backend, and a clobbered 'cpu' would dial the tunnel anyway.
+    "import os, jax;"
+    "_p = os.environ.get('JAX_PLATFORMS');"
+    "_p and jax.config.update('jax_platforms', _p.split(',')[0]);"
+    "import jax.numpy as jnp;"
+    "x = jnp.ones((8, 128)) * 2;"
+    "assert float((x @ x.T)[0, 0]) == 512.0"
+)
+
+
+def device_alive(timeout_sec: int = 180) -> bool:
+    """True iff a fresh subprocess can complete a device round-trip."""
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-u", "-c", PROBE_SRC],
+            timeout=timeout_sec,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_device(probe_timeout: int = 180, retry_sec: int = 120,
+                    alive=device_alive, sleep=time.sleep) -> None:
+    """Block until the device answers.  Outages don't consume restarts."""
+    probes = 0
+    while not alive(probe_timeout):
+        probes += 1
+        print(f"[supervisor] device probe #{probes} failed; "
+              f"retrying in {retry_sec}s")
+        sleep(retry_sec)
+    if probes:
+        print(f"[supervisor] device back after {probes} failed probes")
 
 
 def parse_args(argv=None):
@@ -66,6 +114,7 @@ def main(argv=None) -> int:
     log_path = args.log or f"/tmp/supervise_{name}.log"
     open(log_path, "wb").close()
 
+    wait_for_device()
     proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
     restarts = 0
     while True:
@@ -81,6 +130,7 @@ def main(argv=None) -> int:
                 return 1
             print(f"[supervisor] pid died unfinished (rc={rc}); "
                   f"resume #{restarts}")
+            wait_for_device()
             proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
             continue
         age = time.time() - os.path.getmtime(log_path)
@@ -99,6 +149,7 @@ def main(argv=None) -> int:
                 pass
             proc.wait()
             time.sleep(5)
+            wait_for_device()
             proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
 
 
