@@ -74,6 +74,25 @@ def test_config_defaults_match_reference_semantics():
     assert cfg.train.optimizer == "sgd"
 
 
+def test_all_shipped_experiment_cfgs_load():
+    """Every YAML under experiments/cfgs (incl. the generated per-class
+    LINEMOD/occ/YCB tree) must parse against the config schema."""
+    import glob
+    import os
+
+    from deepim_tpu.config import update_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "experiments",
+                        "cfgs")
+    paths = sorted(glob.glob(os.path.join(root, "**", "*.yaml"),
+                             recursive=True))
+    assert len(paths) >= 25  # 12 protocol cfgs + 15 generated lm6d/ycb
+    for p in paths:
+        cfg = update_config(p)
+        assert cfg.experiment, p
+        assert cfg.test.test_iter >= 1, p
+
+
 # --- pair sampling ----------------------------------------------------------
 
 
