@@ -71,3 +71,25 @@ def test_overlay_and_montage():
     )
     m = side_by_side(out, mask_to_rgb(depth > 0))
     assert m.shape[0] == 16 and m.shape[1] >= 32
+
+
+def test_plot_train_tool(tmp_path):
+    """tools/plot_train.py renders a curves PNG from a train_log.jsonl."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools import plot_train
+
+    log = tmp_path / "train_log.jsonl"
+    with open(log, "w") as f:
+        for s in range(1, 6):
+            f.write(json.dumps({
+                "step": s * 10, "loss": 1.0 / s, "pm_loss_0": 0.1 / s,
+                "rot_err_deg_0": 20.0 / s, "trans_err_0": 0.05 / s,
+                "add_0": 0.04 / s, "flow_loss_0": 5.0 / s,
+            }) + "\n")
+    out = str(tmp_path / "curves.png")
+    assert plot_train.main([str(log), "--out", out]) == 0
+    assert os.path.getsize(out) > 10_000
