@@ -217,3 +217,27 @@ def test_stem_s2d_odd_dims_fallback():
     jax.tree.map(np.testing.assert_array_equal, vf, vr)
     np.testing.assert_allclose(fast.apply(vf, x), ref.apply(vr, x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_euler_rot_type_end_to_end():
+    """network.rot_type=euler (reference ROT_TYPE): 3-dim rot head,
+    zero-init decodes to the identity quaternion, and a known triplet
+    decodes through the geometry euler2quat."""
+    from deepim_tpu.geometry import euler2quat
+
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          rot_type="euler")
+    x = jnp.zeros((2, H, W, 6))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["rot_raw"].shape == (2, 2, 3)
+    quat = decode_rot(select_class(out["rot_raw"], jnp.array([0, 1])),
+                      "euler")
+    np.testing.assert_allclose(quat, np.tile([1, 0, 0, 0], (2, 1)),
+                               atol=1e-6)
+    raw = jnp.array([[0.3, -0.2, 0.5]])
+    np.testing.assert_allclose(
+        decode_rot(raw, "euler"),
+        euler2quat(raw[:, 0], raw[:, 1], raw[:, 2]),
+        atol=1e-6,
+    )
