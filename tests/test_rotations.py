@@ -126,3 +126,32 @@ def test_vmap_and_jit_compatible():
     q = _rand_quats(8)
     out = jax.jit(jax.vmap(quat2mat))(q)
     assert out.shape == (8, 3, 3)
+
+
+def test_euler_gimbal_lock_neighborhood():
+    """ay -> ±π/2 (gimbal lock): euler2mat must stay orthonormal and the
+    mat->euler->mat round trip must reproduce the MATRIX (angles are not
+    unique at the singularity — the matrix is the invariant)."""
+    eps = np.float32(1e-4)
+    for ay in [np.pi / 2 - eps, np.pi / 2, np.pi / 2 + eps,
+               -np.pi / 2, -np.pi / 2 + eps]:
+        ax, az = np.float32(0.3), np.float32(-0.8)
+        m = euler2mat(jnp.float32(ax), jnp.float32(ay), jnp.float32(az))
+        eye = np.asarray(m) @ np.asarray(m).T
+        np.testing.assert_allclose(eye, np.eye(3), atol=1e-5)
+        a2 = mat2euler(m)
+        m2 = euler2mat(*a2)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m), atol=1e-4)
+
+
+def test_quat_round_trip_fuzz_batched():
+    """512 random rotations through quat->mat->quat under vmap+jit —
+    quaternions equal up to sign (the verify-checklist batched probe)."""
+    from deepim_tpu.geometry import mat2quat
+
+    q = RNG.normal(size=(512, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    rt = jax.jit(jax.vmap(lambda qq: mat2quat(quat2mat(qq))))
+    q2 = np.asarray(rt(jnp.asarray(q)))
+    dot = np.abs(np.sum(q * q2, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
