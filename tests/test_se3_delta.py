@@ -112,3 +112,26 @@ def test_delta_jit_vmap():
     tgt = _rand_poses(4, seed=21)
     f = jax.jit(lambda s, t: apply_delta(s, calc_delta(s, t, K), K))
     np.testing.assert_allclose(np.asarray(f(src, tgt)), np.asarray(tgt), atol=1e-4)
+
+
+def test_delta_round_trip_depth_extremes():
+    """apply_delta ∘ calc_delta = id must hold at near/far depth extremes
+    (vz = log-ratio: catastrophic if naively differenced) and for big
+    src→tgt depth jumps."""
+    src = _rand_poses(16, seed=20, z_range=(0.05, 0.08))   # very near
+    tgt = _rand_poses(16, seed=21, z_range=(4.0, 8.0))     # very far
+    for a, b in [(src, tgt), (tgt, src)]:
+        rec = apply_delta(a, calc_delta(a, b, K), K)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_delta_round_trip_tiny_motion():
+    """Sub-millimeter, sub-0.01° deltas survive the round trip in f32
+    (refinement converges through vanishing deltas)."""
+    src = _rand_poses(16, seed=22)
+    nudge = jnp.concatenate(
+        [jnp.zeros((16, 3, 3)), jnp.full((16, 3, 1), 2e-4)], axis=-1)
+    tgt = src + nudge
+    rec = apply_delta(src, calc_delta(src, tgt, K), K)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(tgt), atol=2e-5)
