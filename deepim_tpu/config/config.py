@@ -77,6 +77,20 @@ class TrainConfig:
     # coarse-to-fine eval schedule (test.coarse_iters).  0 = all full-res.
     coarse_fraction: float = 0.0
     w_pm: float = 1.0
+    # "pm" (point-matching, the paper's main loss) | "separate" (direct
+    # L1 on the untangled delta: quat-up-to-sign + trans — the
+    # reference's alternative loss wiring / paper ablation baseline).
+    pose_loss: str = "pm"
+    w_rot: float = 1.0
+    w_trans: float = 1.0
+    # Symmetry-aware PM loss (min over the object's symmetry set).  Turn
+    # OFF when object textures/colors resolve the symmetry and the raw-
+    # rotation metrics matter: min-over-sym lets training snap symmetric
+    # objects to any equivalent slot, which coarse-resolution steps
+    # reinforce until even full-res refinement stops color-locking
+    # (measured: 5deg5cm 98 -> 62 after mixed-res fine-tuning with
+    # sym-aware PM; exact-pose PM restores the lock).
+    sym_aware_pm: bool = True
     w_flow: float = 0.1
     w_mask: float = 0.1
     renderer: str = "pallas"

@@ -25,9 +25,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from deepim_tpu.config.config import Config
-from deepim_tpu.geometry.delta_pose import DeltaPose, apply_delta
+from deepim_tpu.geometry.delta_pose import DeltaPose, apply_delta, calc_delta
 from deepim_tpu.geometry.pose_errors import add_error, rot_error_deg, trans_error
 from deepim_tpu.losses.losses import (
+    angle_trans_l1_loss,
     flow_epe_loss,
     mask_ce_loss,
     point_matching_loss,
@@ -162,10 +163,22 @@ def compute_losses(
         trans = select_class(out["trans"], batch["class_idx"])
         delta = DeltaPose(quat, trans)
 
-        pm = point_matching_loss(ab.points, delta, pose_src, pose_tgt, kz,
-                                 sym_poses=ab.sym_poses)
-        loss_it = t.w_pm * jnp.mean(pm)
-        metrics[f"pm_loss_{it}"] = jnp.mean(pm)
+        if t.pose_loss == "separate":
+            # Reference's alternative loss wiring: direct L1 on the
+            # untangled delta vs the ground-truth delta (paper ablation).
+            delta_gt = calc_delta(pose_src, pose_tgt, kz)
+            rot_l, trans_l = angle_trans_l1_loss(delta, delta_gt)
+            loss_it = (t.w_rot * jnp.mean(rot_l)
+                       + t.w_trans * jnp.mean(trans_l))
+            metrics[f"rot_loss_{it}"] = jnp.mean(rot_l)
+            metrics[f"trans_loss_{it}"] = jnp.mean(trans_l)
+        else:
+            pm = point_matching_loss(
+                ab.points, delta, pose_src, pose_tgt, kz,
+                sym_poses=ab.sym_poses if t.sym_aware_pm else None,
+            )
+            loss_it = t.w_pm * jnp.mean(pm)
+            metrics[f"pm_loss_{it}"] = jnp.mean(pm)
 
         if model.with_flow and t.w_flow > 0:
             obs_depth_crop = _zoom_batch(

@@ -10,6 +10,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from deepim_tpu.config import Config, config_from_dict
@@ -149,6 +150,55 @@ def test_compute_losses_finite(assets):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert "pm_loss_0" in metrics and "flow_loss_0" in metrics
+
+
+def test_separate_pose_loss(assets):
+    """train.pose_loss=separate: direct L1 on the untangled delta (the
+    reference's alternative loss wiring) is finite and carries gradient."""
+    cfg = tiny_cfg(pose_loss="separate", w_flow=0.0, w_mask=0.0)
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    batch = synthetic_batch(jax.random.PRNGKey(1), assets, 4, K_CAM, (H, W),
+                            renderer="xla")
+
+    def loss_fn(params):
+        return compute_losses(params, model, assets, batch, cfg)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    assert np.isfinite(float(loss))
+    assert "rot_loss_0" in metrics and "trans_loss_0" in metrics
+    assert "pm_loss_0" not in metrics
+    gnorm = optax.global_norm(grads)
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_sym_aware_pm_toggle():
+    """train.sym_aware_pm=False switches the PM loss to the exact-pose
+    target: a symmetry-flipped target is forgiven by the sym-aware loss
+    but penalized by the exact one (the color-locking fine-tune knob)."""
+    from deepim_tpu.geometry.se3 import se3_mul
+    from deepim_tpu.geometry.symmetry import rot_z_syms
+
+    assets_s = build_assets(
+        [box_mesh((0.08, 0.1, 0.06)), icosphere_mesh(0.05)],
+        sym_transforms=[rot_z_syms(2), None], num_points=64,
+    )
+    cfg_sym = tiny_cfg()
+    cfg_exact = tiny_cfg(sym_aware_pm=False)
+    assert cfg_sym.train.sym_aware_pm and not cfg_exact.train.sym_aware_pm
+    model = make_model(cfg_sym, assets_s.num_classes)
+    state = init_state(cfg_sym, model, jax.random.PRNGKey(0))
+    batch = dict(synthetic_batch(jax.random.PRNGKey(1), assets_s, 4, K_CAM,
+                                 (H, W), renderer="xla"))
+    batch["class_idx"] = jnp.zeros_like(batch["class_idx"])  # symmetric box
+    sym = jnp.asarray(rot_z_syms(2))[1]
+    batch["pose_tgt"] = se3_mul(batch["pose_tgt"], jnp.tile(sym[None], (4, 1, 1)))
+
+    _, m_sym = compute_losses(state.params, model, assets_s, batch, cfg_sym)
+    _, m_exact = compute_losses(state.params, model, assets_s, batch,
+                                cfg_exact)
+    assert float(m_sym["pm_loss_0"]) < float(m_exact["pm_loss_0"])
 
 
 def test_input_mask_8ch(assets):
