@@ -28,6 +28,14 @@ def parse_args(argv=None):
     p.add_argument("--coarse-iters", type=int, default=-1,
                    help="override cfg.test.coarse_iters (coarse-to-fine "
                         "schedule A/B; -1 = use the config value)")
+    p.add_argument("--vis", type=int, default=0,
+                   help="dump per-iteration rendered-vs-observed overlay "
+                        "montages for the first N samples (reference "
+                        "tester's visualization flags)")
+    p.add_argument("--save-poses", action="store_true",
+                   help="write per-sample refined pose trajectories to "
+                        "refined_poses.npz (reference pred_eval stores "
+                        "all_poses_est/all_poses_gt)")
     return p.parse_args(argv)
 
 
@@ -224,8 +232,58 @@ def main(argv=None):
     title = (f"{cfg.experiment} — "
              f"{'INIT (unrefined)' if args.no_refine else f'{cfg.test.test_iter} refine iters'}")
     print(format_table(results, title))
+
+    if args.vis:
+        # Per-iteration rendered-vs-observed overlays (reference: the
+        # tester's visualization flags dump these during testing).  One
+        # montage per sample: columns INIT, iter 1..K, GT.
+        from deepim_tpu.refine import render_scene
+        from deepim_tpu.utils.viz import (
+            overlay_render, save_image, side_by_side,
+        )
+
+        vis_dir = os.path.join(out_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        nv = min(args.vis, n)
+        ones = jnp.ones((nv, 1), bool)
+        interpret = jax.devices()[0].platform == "cpu"
+        cols = []  # (iters+2) × (nv, H, W, 3/1) render outputs
+        for pose_it in list(traj[:, :nv]) + [pose_gt[:nv]]:
+            rgb, depth = render_scene(
+                assets, class_idx[:nv, None], pose_it[:, None], ones,
+                ks[:nv], image_size, interpret=interpret,
+            )
+            cols.append((np.asarray(rgb), np.asarray(depth)))
+        obs_np = np.asarray(obs[:nv])
+        for i in range(nv):
+            tiles = [overlay_render(obs_np[i], rgb[i], depth[i])
+                     for rgb, depth in cols]
+            save_image(os.path.join(vis_dir, f"sample{i:03d}.png"),
+                       side_by_side(*tiles))
+        print(f"wrote {nv} overlay montages (INIT, "
+              f"{traj.shape[0] - 1} iters, GT) to {vis_dir}")
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
         json.dump(results, f, indent=2)
+
+    if args.save_poses:
+        # Reference pred_eval keeps all_poses_est/all_poses_gt for the
+        # dataset's evaluate_pose; here the full per-iteration trajectory
+        # is saved so downstream consumers can re-run any metric.
+        path = os.path.join(out_dir, "refined_poses.npz")
+        traj_np = np.asarray(traj)  # (iters+1, n, 3, 4); [0] = init
+        cls_np = np.asarray(class_idx)
+        np.savez_compressed(path, traj=traj_np, pose_gt=np.asarray(pose_gt),
+                            class_idx=cls_np, k=np.asarray(ks))
+        print(f"wrote pose trajectories to {path}")
+
+        # BOP-toolkit-compatible CSV of the final refined poses (obj ids
+        # are 1-based in BOP).
+        from deepim_tpu.eval import write_bop_csv
+
+        csv_path = os.path.join(out_dir, "bop_results.csv")
+        write_bop_csv(csv_path, traj_np[-1], cls_np + 1,
+                      time_s=float(dt) / max(n, 1))
+        print(f"wrote BOP results CSV to {csv_path}")
     return 0
 
 

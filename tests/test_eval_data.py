@@ -182,10 +182,24 @@ def test_cli_train_and_test(tmp_path, monkeypatch):
                                     "checkpoints"))
     assert len(ckpts) >= 1
 
-    assert cli_test.main(["--cfg", cfg_path, "--num-samples", "8"]) == 0
+    assert cli_test.main(["--cfg", cfg_path, "--num-samples", "8",
+                          "--vis", "2", "--save-poses"]) == 0
+    poses = np.load(os.path.join(str(tmp_path / "out"), "toy",
+                                 "refined_poses.npz"))
+    assert poses["traj"].shape == (2, 8, 3, 4)  # K=1: init + 1 iter
+    assert poses["pose_gt"].shape == (8, 3, 4)
+    from deepim_tpu.eval import read_bop_csv
+
+    bop = read_bop_csv(os.path.join(str(tmp_path / "out"), "toy",
+                                    "bop_results.csv"))
+    np.testing.assert_allclose(bop["poses"], poses["traj"][-1], atol=1e-6)
     assert os.path.exists(
         os.path.join(str(tmp_path / "out"), "toy", "eval_results.json")
     )
+    # --vis: per-iteration rendered-vs-observed overlay montages
+    # (reference tester's visualization flags).
+    vis_dir = os.path.join(str(tmp_path / "out"), "toy", "vis")
+    assert sorted(os.listdir(vis_dir)) == ["sample000.png", "sample001.png"]
 
 
 @pytest.mark.slow
@@ -281,3 +295,58 @@ def test_cli_train_and_test_coarse_to_fine(tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path / "out"), "toy_c2f", "eval_results.json")
     )
+
+
+@pytest.mark.slow
+def test_cli_train_test_combined(tmp_path):
+    """The reference's single deepim_train_test.py entry point: one
+    command trains, then evaluates the final checkpoint."""
+    import yaml
+
+    from deepim_tpu.cli import train_test as cli_train_test
+
+    cfg = {
+        "experiment": "toy_tt",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "train": {"batch_size": 8, "num_steps": 2, "renderer": "xla",
+                  "optimizer": "adam", "lr": 1e-4, "log_every": 1,
+                  "checkpoint_every": 2, "warmup_steps": 0,
+                  "w_flow": 0.0, "w_mask": 0.0},
+        "test": {"test_iter": 1, "batch_size": 8, "renderer": "xla"},
+    }
+    cfg_path = str(tmp_path / "toy_tt.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    assert cli_train_test.main(
+        ["--cfg", cfg_path, "--n-devices", "1", "--num-samples", "8"]) == 0
+    out = os.path.join(str(tmp_path / "out"), "toy_tt")
+    assert os.path.exists(os.path.join(out, "eval_results.json"))
+    assert len(os.listdir(os.path.join(out, "checkpoints"))) >= 1
+
+
+def test_bop_results_csv_roundtrip(tmp_path):
+    """BOP results CSV: write meters-frame poses, read back exactly
+    (mm conversion, row-major R)."""
+    from deepim_tpu.eval import read_bop_csv, write_bop_csv
+
+    poses = np.stack([_pose(0.2, 0.6), _pose(-0.4, 0.9)])
+    path = str(tmp_path / "res.csv")
+    n = write_bop_csv(path, poses, obj_ids=np.array([1, 5]),
+                      scene_ids=np.array([2, 2]), im_ids=np.array([10, 11]),
+                      scores=np.array([0.9, 0.8]), time_s=0.05)
+    assert n == 2
+    back = read_bop_csv(path)
+    np.testing.assert_allclose(back["poses"], poses, atol=1e-6)
+    assert back["obj_ids"].tolist() == [1, 5]
+    assert back["scene_ids"].tolist() == [2, 2]
+    assert back["im_ids"].tolist() == [10, 11]
+    np.testing.assert_allclose(back["scores"], [0.9, 0.8], atol=1e-6)
+    with open(path) as f:
+        assert f.readline().startswith("scene_id,im_id,obj_id,score,R,t")
