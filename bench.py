@@ -23,6 +23,14 @@ K_ITERS = 4
 # measured throughput knee on v5e: it halves the host-dispatch share vs
 # B=64 (+20% poses/s) and B=256 gains nothing further (HBM-bound).
 BATCH = 128
+# Coarse-to-fine schedule: first N of the K iterations run at half
+# resolution (quarter-cost render+CNN; accuracy-validated on the
+# mixed-res-trained flagship — see PARITY.md).  Override: BENCH_COARSE=0.
+COARSE_ITERS = int(os.environ.get("BENCH_COARSE", "2"))
+# BENCH_PIPELINE=R: measure sustained throughput with R batches enqueued
+# back-to-back (async dispatch overlaps host work with device compute —
+# the production serving pattern).  0 = serial median-of-5 latency timing.
+PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE", "0"))
 
 
 def main() -> int:
@@ -30,7 +38,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from deepim_tpu.geometry.symmetry import rot_z_syms
-    from deepim_tpu.models import DeepIMFlowNet
+    from deepim_tpu.models import DeepIMFlowNet, bottleneck_grid
     from deepim_tpu.raster.camera import make_intrinsics
     from deepim_tpu.raster.mesh import (
         box_mesh, cylinder_mesh, icosphere_mesh, torus_mesh,
@@ -51,7 +59,8 @@ def main() -> int:
         meshes, sym_transforms=[rot_z_syms(2), None, None, rot_z_syms(8)],
         num_points=3000,
     )
-    model = DeepIMFlowNet(num_classes=assets.num_classes)
+    model = DeepIMFlowNet(num_classes=assets.num_classes,
+                          head_grid=bottleneck_grid(480, 640))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 480, 640, 6)))
 
@@ -64,24 +73,36 @@ def main() -> int:
     obs = jax.random.uniform(ko, (BATCH, 480, 640, 3))
     ks = jnp.tile(k_cam[None], (BATCH, 1, 1))
 
-    def run():
-        out = refine_poses(
+    def run_async():
+        return refine_poses(
             variables, model, assets, obs, init, ks, class_idx,
             num_iters=K_ITERS, out_size=(480, 640), renderer=renderer,
+            coarse_iters=COARSE_ITERS,
         )
+
+    def sync(out):
         # block_until_ready alone has been seen returning early over the
         # experimental axon tunnel; a scalar device->host transfer is a
         # hard synchronization point (costs ~ms, run is ~200ms).
         return float(out[0, 0, 0])
 
-    run()  # compile
-    # steady state: median of 5 timed reps
-    times = []
-    for _ in range(5):
+    sync(run_async())  # compile + warm
+    if PIPELINE_REPS:
+        # Sustained throughput: R identical batches enqueued without
+        # per-batch syncs; the device stream executes in order, so
+        # syncing the last output bounds all R.
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+        outs = [run_async() for _ in range(PIPELINE_REPS)]
+        sync(outs[-1])
+        dt = (time.perf_counter() - t0) / PIPELINE_REPS
+    else:
+        # steady state: median of 5 timed serial reps
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sync(run_async())
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
     poses_per_sec = BATCH / dt
 
     print(json.dumps({
