@@ -32,6 +32,11 @@ def parse_args(argv=None):
                    help="dump per-iteration rendered-vs-observed overlay "
                         "montages for the first N samples (reference "
                         "tester's visualization flags)")
+    p.add_argument("--init-poses", default="",
+                   help="BOP results CSV of external init poses (PoseCNN-"
+                        "style import), matched to LM6d test records by "
+                        "(scene_id, im_id, obj_id); unmatched records keep "
+                        "their default init")
     p.add_argument("--save-poses", action="store_true",
                    help="write per-sample refined pose trajectories to "
                         "refined_poses.npz (reference pred_eval stores "
@@ -57,6 +62,8 @@ def main(argv=None):
 
     cfg = update_config(args.cfg)
     out_dir = os.path.join(cfg.output_dir, cfg.experiment)
+    # eval-only runs (external/absent checkpoints) start from nothing
+    os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
     assets, names, symmetric = load_assets_and_names(cfg, eval_set=True)
@@ -153,6 +160,14 @@ def main(argv=None):
                 cfg.train.rot_noise_max_deg, cfg.train.trans_noise,
                 cfg.train.trans_noise_max,
             )
+        if args.init_poses:
+            from deepim_tpu.data.lm6d import apply_bop_init
+
+            init_np = np.asarray(init).copy()
+            matched = apply_bop_init(records, init_np, args.init_poses)
+            init = jnp.asarray(init_np)
+            print(f"external init poses: matched {matched}/{len(records)} "
+                  f"records from {args.init_poses}")
 
     # Data-parallel eval (reference: tester split test batches over --gpus).
     # Sharding the batch axis over a ('data',) mesh lets GSPMD partition the

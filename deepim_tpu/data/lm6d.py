@@ -279,6 +279,39 @@ def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
     }
 
 
+def apply_bop_init(records: list[FrameRecord], init: np.ndarray,
+                   csv_path: str) -> int:
+    """Overwrite ``init[i]`` with external init poses from a BOP results
+    CSV, matched by (scene_id, im_id, obj_id).
+
+    The reference imports PoseCNN's released results as test-time init
+    poses; in the modern ecosystem those circulate as BOP results CSVs
+    (``eval/bop_results.py``).  obj_id is 1-based (BOP convention) =
+    ``class_idx + 1``; scene/frame names must parse as integers (the
+    LM6d layout uses zero-padded numerals).  Mutates ``init`` in place
+    for the first ``len(records)`` rows; returns the match count.
+    """
+    from deepim_tpu.eval.bop_results import read_bop_csv
+
+    bop = read_bop_csv(csv_path)
+    lut = {
+        (int(s), int(im), int(o)): p
+        for s, im, o, p in zip(bop["scene_ids"], bop["im_ids"],
+                               bop["obj_ids"], bop["poses"])
+    }
+    matched = 0
+    for i, rec in enumerate(records):
+        try:
+            key = (int(rec.scene), int(rec.frame), rec.class_idx + 1)
+        except ValueError:
+            continue
+        pose = lut.get(key)
+        if pose is not None:
+            init[i] = pose
+            matched += 1
+    return matched
+
+
 class TrainBatcher:
     """Shuffled-epoch minibatch iterator over on-disk LM6d frames.
 

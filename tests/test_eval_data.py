@@ -331,6 +331,33 @@ def test_cli_train_test_combined(tmp_path):
     assert len(os.listdir(os.path.join(out, "checkpoints"))) >= 1
 
 
+def test_apply_bop_init(disk_ds, tmp_path):
+    """External init poses (PoseCNN-style import) from a BOP results CSV
+    overwrite matched records by (scene_id, im_id, obj_id)."""
+    from deepim_tpu.data.lm6d import apply_bop_init
+    from deepim_tpu.eval import write_bop_csv
+
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    records = ds.gt_roidb("box", "test") + ds.gt_roidb("icosphere", "test")
+    assert len(records) >= 2
+    ext = np.stack([_pose(0.5, 0.9), _pose(-0.2, 0.5)])
+    targets = [records[0], records[-1]]
+    path = str(tmp_path / "init.csv")
+    write_bop_csv(
+        path, ext,
+        obj_ids=np.array([r.class_idx + 1 for r in targets]),
+        scene_ids=np.array([int(r.scene) for r in targets]),
+        im_ids=np.array([int(r.frame) for r in targets]),
+    )
+    init = np.stack([r.pose for r in records]).astype(np.float32)
+    before = init.copy()
+    assert apply_bop_init(records, init, path) == 2
+    np.testing.assert_allclose(init[0], ext[0], atol=1e-6)
+    np.testing.assert_allclose(init[-1], ext[1], atol=1e-6)
+    # unmatched rows untouched
+    np.testing.assert_array_equal(init[1:-1], before[1:-1])
+
+
 def test_bop_results_csv_roundtrip(tmp_path):
     """BOP results CSV: write meters-frame poses, read back exactly
     (mm conversion, row-major R)."""
