@@ -86,6 +86,8 @@ def main(argv=None):
     out_size = (cfg.network.input_height, cfg.network.input_width)
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
     bs = cfg.test.batch_size
+    obs_depth = obs_mask = None  # input_depth/input_mask extra channels
+    batches = None  # synthetic branches fill this; lm6d builds arrays
 
     if d.name == "synthetic_occlusion":
         # Occluded-LINEMOD protocol: observed frames are multi-object
@@ -94,9 +96,8 @@ def main(argv=None):
 
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
-        obs, pose_gt, init, class_idx = [], [], [], []
-        for i in range(n // bs):
-            b = synthetic_occlusion_batch(
+        batches = [
+            synthetic_occlusion_batch(
                 jax.random.PRNGKey(1000 + i), assets, bs, k_cam, image_size,
                 rot_noise_deg=cfg.train.rot_noise_deg,
                 rot_max_deg=cfg.train.rot_noise_max_deg,
@@ -104,15 +105,8 @@ def main(argv=None):
                 trans_max=cfg.train.trans_noise_max,
                 renderer=cfg.test.renderer,
             )
-            obs.append(b["obs_rgb"])
-            pose_gt.append(b["pose_tgt"])
-            init.append(b["pose_src"])
-            class_idx.append(b["class_idx"])
-        obs = jnp.concatenate(obs)
-        pose_gt = jnp.concatenate(pose_gt)
-        init = jnp.concatenate(init)
-        class_idx = jnp.concatenate(class_idx)
-        ks = jnp.tile(k_cam[None], (n, 1, 1))
+            for i in range(n // bs)
+        ]
     elif d.name.startswith("synthetic") or d.name == "modelnet":
         # Observed frames come from the SAME generator as training
         # (randomized lighting, noise background) — the eval distribution
@@ -121,9 +115,8 @@ def main(argv=None):
 
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
-        obs, pose_gt, init, class_idx = [], [], [], []
-        for i in range(n // bs):
-            b = synthetic_batch(
+        batches = [
+            synthetic_batch(
                 jax.random.PRNGKey(9000 + i), assets, bs, k_cam, image_size,
                 rot_noise_deg=cfg.train.rot_noise_deg,
                 rot_max_deg=cfg.train.rot_noise_max_deg,
@@ -131,15 +124,8 @@ def main(argv=None):
                 trans_max=cfg.train.trans_noise_max,
                 renderer=cfg.test.renderer,
             )
-            obs.append(b["obs_rgb"])
-            pose_gt.append(b["pose_tgt"])
-            init.append(b["pose_src"])
-            class_idx.append(b["class_idx"])
-        obs = jnp.concatenate(obs)
-        pose_gt = jnp.concatenate(pose_gt)
-        init = jnp.concatenate(init)
-        class_idx = jnp.concatenate(class_idx)
-        ks = jnp.tile(k_cam[None], (n, 1, 1))
+            for i in range(n // bs)
+        ]
     else:
         from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
 
@@ -150,6 +136,10 @@ def main(argv=None):
         n = (len(records) + bs - 1) // bs * bs
         arrs = make_eval_arrays(ds, records, pad_to=n)
         obs = jnp.asarray(arrs["obs_rgb"])
+        obs_depth = (jnp.asarray(arrs["obs_depth"])
+                     if cfg.network.input_depth else None)
+        obs_mask = (jnp.asarray(arrs["obs_mask"])
+                    if cfg.network.input_mask else None)
         pose_gt = jnp.asarray(arrs["pose_gt"])
         init = jnp.asarray(arrs["init_pose"])
         class_idx = jnp.asarray(arrs["class_idx"])
@@ -168,6 +158,17 @@ def main(argv=None):
             init = jnp.asarray(init_np)
             print(f"external init poses: matched {matched}/{len(records)} "
                   f"records from {args.init_poses}")
+
+    if batches is not None:
+        obs = jnp.concatenate([b["obs_rgb"] for b in batches])
+        pose_gt = jnp.concatenate([b["pose_tgt"] for b in batches])
+        init = jnp.concatenate([b["pose_src"] for b in batches])
+        class_idx = jnp.concatenate([b["class_idx"] for b in batches])
+        ks = jnp.tile(k_cam[None], (n, 1, 1))
+        if cfg.network.input_depth:
+            obs_depth = jnp.concatenate([b["obs_depth"] for b in batches])
+        if cfg.network.input_mask:
+            obs_mask = jnp.concatenate([b["obs_mask"] for b in batches])
 
     # Data-parallel eval (reference: tester split test batches over --gpus).
     # Sharding the batch axis over a ('data',) mesh lets GSPMD partition the
@@ -223,6 +224,9 @@ def main(argv=None):
                 num_iters=cfg.test.test_iter,
                 out_size=out_size, renderer=cfg.test.renderer,
                 return_all=True,
+                obs_mask=None if obs_mask is None else shard(obs_mask[sl]),
+                obs_depth=(None if obs_depth is None
+                           else shard(obs_depth[sl])),
                 coarse_iters=coarse_iters,
                 coarse_size=coarse_size,
             )

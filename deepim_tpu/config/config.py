@@ -37,6 +37,10 @@ class NetworkConfig:
     with_mask: bool = True  # mask aux head
     input_mask: bool = False  # 8-ch input: append rendered + observed
     # segmentation masks to the RGB pair (reference INPUT_MASK cfg)
+    input_depth: bool = False  # +2 ch: append rendered + observed depth
+    # (reference INPUT_DEPTH cfg), each normalized by the current
+    # estimate's object z (d/z - 1; background 0) for depth-scale
+    # invariance
     pose_head: str = "flatten"  # "flatten" (reference) | "gap"
     fc_dim: int = 1024
     input_height: int = 480  # network input after dynamic zoom

@@ -188,6 +188,10 @@ class DeepIMFlowNet(nn.Module):
     # agnostic; this flag tells the train/refine drivers to append the
     # rendered mask (depth > 0) and the observed-mask estimate.
     input_mask: bool = False
+    # +2 depth channels (reference INPUT_DEPTH): rendered + observed depth
+    # crops, normalized by the current estimate's object z.  As with
+    # input_mask, the conv stack is channel-agnostic; the drivers append.
+    input_depth: bool = False
     pose_head: str = "flatten"  # "flatten" (reference) | "gap" (cheap)
     fc_dim: int = 1024
     # Fixed per-component scale on the translation head so raw outputs are
@@ -341,6 +345,18 @@ def decode_rot(rot_raw: jax.Array, rot_type: str) -> jax.Array:
     if rot_type == "euler":
         return euler2quat(rot_raw[..., 0], rot_raw[..., 1], rot_raw[..., 2])
     raise ValueError(rot_type)
+
+
+def normalize_depth(depth: jax.Array, z: jax.Array) -> jax.Array:
+    """(B, H, W) metric depth -> (B, H, W, 1) input_depth channel.
+
+    Normalized by the current estimate's object distance z (d/z - 1), so
+    the channel is O(0.1) and invariant to absolute depth scale;
+    background (depth 0) stays 0 (reference INPUT_DEPTH semantics, TPU
+    choice of normalization).
+    """
+    zref = jnp.maximum(z, 1e-6)[:, None, None]
+    return jnp.where(depth > 0, depth / zref - 1.0, 0.0)[..., None]
 
 
 def network_input(obs_rgb: jax.Array, ren_rgb: jax.Array,

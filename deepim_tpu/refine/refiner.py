@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from deepim_tpu.geometry.delta_pose import DeltaPose, apply_delta
-from deepim_tpu.models.flownet import decode_rot, network_input, select_class
+from deepim_tpu.models.flownet import (
+    decode_rot, network_input, normalize_depth, select_class,
+)
 from deepim_tpu.ops.zoom import compute_zoom_box, zoom_image, zoom_intrinsics
 from deepim_tpu.raster import raster_pallas, raster_xla
 
@@ -305,6 +307,7 @@ def refine_step(
     zoom_margin: float = 1.4,
     keep_aux: bool = False,
     obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
+    obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
 ) -> RefineStepOutputs:
     """One render→zoom→CNN→compose update (all stages on-device)."""
     with jax.named_scope("zoom_box"):
@@ -341,12 +344,34 @@ def refine_step(
         else:
             obs_mask_in = ren_mask
         extras = (ren_mask, obs_mask_in)
+    if getattr(model, "input_depth", False):
+        # Reference INPUT_DEPTH mode.  Without an observed depth frame the
+        # rendered depth doubles as the best available observed estimate.
+        z_src = pose[:, 2, 3]
+        if obs_depth is not None:
+            obs_depth_in = jax.vmap(
+                lambda im, x0, y0, sx, sy: zoom_image(
+                    im[..., None], type(box)(x0, y0, sx, sy), out_size,
+                    method="nearest",
+                )
+            )(obs_depth, box.x0, box.y0, box.sx, box.sy)[..., 0]
+        else:
+            obs_depth_in = ren_depth
+        extras = (*extras, normalize_depth(ren_depth, z_src),
+                  normalize_depth(obs_depth_in, z_src))
     with jax.named_scope("cnn"):
         out = model.apply(variables, network_input(obs_crop, ren_rgb, extras))
     with jax.named_scope("compose"):
         quat = decode_rot(select_class(out["rot_raw"], class_idx),
                           model.rot_type)
         trans = select_class(out["trans"], class_idx)
+        # Bound the per-iteration update: |vx|,|vy| <= 2000 crop px and
+        # |vz| <= 4 (a 55x depth change).  A trained head predicts O(10 px,
+        # 0.1) values so the clip never binds; it only stops a diverged
+        # hypothesis from overflowing exp(-vz) -> z=0/inf -> NaN and
+        # poisoning batch statistics on later iterations.
+        trans = jnp.clip(trans, jnp.array([-2000.0, -2000.0, -4.0]),
+                         jnp.array([2000.0, 2000.0, 4.0]))
         new_pose = apply_delta(pose, DeltaPose(quat, trans), k_zoom)
     aux = {kk: v for kk, v in out.items() if kk not in ("rot_raw", "trans")} \
         if keep_aux else {}
@@ -373,6 +398,7 @@ def refine_poses(
     zoom_margin: float = 1.4,
     return_all: bool = False,
     obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
+    obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
     coarse_iters: int = 0,
     coarse_size: tuple[int, int] | None = None,
 ) -> jax.Array:
@@ -398,6 +424,7 @@ def refine_poses(
             outs = refine_step(
                 variables, model, assets_b, obs_rgb, pose, k, class_idx,
                 size, renderer, zoom_margin, obs_mask=obs_mask,
+                obs_depth=obs_depth,
             )
             return outs.pose, outs.pose if return_all else None
         return step

@@ -38,6 +38,7 @@ from deepim_tpu.models.flownet import (
     bottleneck_grid,
     decode_rot,
     network_input,
+    normalize_depth,
     select_class,
 )
 from deepim_tpu.ops.flow_gt import calc_flow
@@ -62,6 +63,7 @@ def make_model(cfg: Config, num_classes: int) -> DeepIMFlowNet:
         pose_head=n.pose_head,
         fc_dim=n.fc_dim,
         input_mask=n.input_mask,
+        input_depth=n.input_depth,
         dtype=jnp.bfloat16 if n.dtype == "bfloat16" else jnp.float32,
         # Pin the flatten head to the full-resolution bottleneck grid so
         # the same checkpoint serves coarse-resolution refine iterations
@@ -101,7 +103,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def init_state(cfg: Config, model: DeepIMFlowNet, key: jax.Array) -> TrainState:
     n = cfg.network
-    in_ch = 8 if n.input_mask else 6
+    in_ch = 6 + (2 if n.input_mask else 0) + (2 if n.input_depth else 0)
     x = jnp.zeros((1, n.input_height, n.input_width, in_ch))
     params = model.init(key, x)
     tx = make_optimizer(cfg)
@@ -156,6 +158,15 @@ def compute_losses(
             )
             extras = ((ren_depth > 0).astype(jnp.float32)[..., None],
                       obs_mask_in)
+        if model.input_depth:
+            # Reference INPUT_DEPTH mode: rendered + observed depth crops,
+            # normalized by the source estimate's object z.
+            obs_depth_in = _zoom_batch(
+                batch["obs_depth"][..., None], box, out_size, "nearest",
+            )[..., 0]
+            z_src = pose_src[:, 2, 3]
+            extras = (*extras, normalize_depth(ren_depth, z_src),
+                      normalize_depth(obs_depth_in, z_src))
         out = model.apply(params, network_input(obs_crop, ren_rgb, extras))
 
         quat = decode_rot(select_class(out["rot_raw"], batch["class_idx"]),
