@@ -130,10 +130,24 @@ def main(argv=None):
         state = restore_checkpoint(ckpt_dir, state)
         start_step = int(state.step)
         print(f"resumed from step {start_step}")
-    elif latest_step(ckpt_dir) is not None:
-        print("fresh run: clearing stale checkpoints "
-              "(pass --resume to continue them)")
-        clear_checkpoints(ckpt_dir)
+    else:
+        if latest_step(ckpt_dir) is not None:
+            print("fresh run: clearing stale checkpoints "
+                  "(pass --resume to continue them)")
+            clear_checkpoints(ckpt_dir)
+        if cfg.train.pretrained:
+            # Reference workflow: start from pretrained FlowNet weights,
+            # re-init whatever doesn't fit (new heads, extra channels).
+            from deepim_tpu.train.checkpoint import (
+                merge_pretrained, restore_params_raw,
+            )
+
+            src = restore_params_raw(cfg.train.pretrained,
+                                     cfg.train.pretrained_step or None)
+            merged, _ = merge_pretrained(
+                state.params, src, reinit=tuple(cfg.train.pretrained_reinit))
+            state = state._replace(params=merged)
+            print(f"pretrained init from {cfg.train.pretrained}")
 
     d = cfg.dataset
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)

@@ -102,6 +102,15 @@ class TrainConfig:
     log_every: int = 20
     seed: int = 3
     debug_nans: bool = False  # jax_debug_nans for CI runs (SURVEY.md §5)
+    # Pretrained init (reference: load FlowNet arg_params, re-init new
+    # heads): checkpoint dir of another experiment; matching-shape params
+    # load, conv kernels wider in input channels load the overlapping
+    # slice (RGB -> RGB-D transfer), everything else keeps fresh init.
+    pretrained: str = ""
+    pretrained_step: int = 0  # 0 = latest step in the source dir
+    # Substrings forcing a fresh init even on a shape match (per-class
+    # fine-tune: ("fc_rot", "fc_trans")).
+    pretrained_reinit: tuple = ()
 
 
 @dataclass

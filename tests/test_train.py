@@ -355,6 +355,69 @@ def test_checkpoint_roundtrip(assets, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pretrained_partial_init(assets, tmp_path):
+    """Reference pretrained-FlowNet workflow: load a source checkpoint's
+    params into a DIFFERENT model — matching shapes load, a wider conv1
+    (RGB -> RGB-D) loads the overlapping input-channel slice, mismatched
+    heads and reinit-listed params keep their fresh init."""
+    import dataclasses
+
+    from deepim_tpu.train.checkpoint import (
+        merge_pretrained, restore_params_raw, save_checkpoint,
+    )
+
+    cfg = tiny_cfg()
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    # make the source params distinguishable from any fresh init
+    src_state = state._replace(
+        params=jax.tree.map(lambda p: p + 1.0, state.params))
+    save_checkpoint(str(tmp_path / "src"), src_state)
+
+    raw = restore_params_raw(str(tmp_path / "src"))
+    for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(src_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # RGB -> RGB-D transfer: conv1 kernel is (7, 7, 8, 64) vs source's
+    # (7, 7, 6, 64) — the first 6 input channels load, the rest stay fresh.
+    cfg_d = dataclasses.replace(
+        cfg, network=dataclasses.replace(cfg.network, input_depth=True))
+    model_d = make_model(cfg_d, assets.num_classes)
+    tmpl = init_state(cfg_d, model_d, jax.random.PRNGKey(1)).params
+    merged, stats = merge_pretrained(tmpl, raw, log=lambda *_: None)
+    assert stats["sliced"] == 1 and stats["shape_skipped"] == 0
+    k_m = np.asarray(merged["params"]["conv1"]["Conv_0"]["kernel"])
+    k_s = np.asarray(raw["params"]["conv1"]["Conv_0"]["kernel"])
+    k_t = np.asarray(tmpl["params"]["conv1"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(k_m[:, :, :6], k_s)
+    np.testing.assert_array_equal(k_m[:, :, 6:], k_t[:, :, 6:])
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["fc1"]["kernel"]),
+        np.asarray(raw["params"]["fc1"]["kernel"]))
+
+    # Different class count: per-class heads are shape-skipped, convs load.
+    model_1 = dataclasses.replace(model, num_classes=assets.num_classes + 1)
+    tmpl_1 = model_1.init(jax.random.PRNGKey(2),
+                          jnp.zeros((1, H, W, 6)))
+    merged_1, stats_1 = merge_pretrained(tmpl_1, raw, log=lambda *_: None)
+    assert stats_1["shape_skipped"] >= 2  # fc_rot + fc_trans at least
+    np.testing.assert_array_equal(
+        np.asarray(merged_1["params"]["fc_rot"]["kernel"]),
+        np.asarray(tmpl_1["params"]["fc_rot"]["kernel"]))
+
+    # reinit list forces fresh init even on a shape match.
+    tmpl_2 = init_state(cfg, model, jax.random.PRNGKey(3)).params
+    merged_2, stats_2 = merge_pretrained(
+        tmpl_2, raw, reinit=("fc_rot", "fc_trans"), log=lambda *_: None)
+    assert stats_2["reinit"] >= 2
+    np.testing.assert_array_equal(
+        np.asarray(merged_2["params"]["fc_trans"]["kernel"]),
+        np.asarray(tmpl_2["params"]["fc_trans"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged_2["params"]["conv2"]["Conv_0"]["kernel"]),
+        np.asarray(raw["params"]["conv2"]["Conv_0"]["kernel"]))
+
+
 @pytest.mark.slow
 def test_micro_overfit(assets):
     """Loss decreases markedly on a fixed tiny batch (end-to-end gradient
