@@ -209,6 +209,9 @@ def main(argv=None):
                 num_hypotheses=args.hypotheses,
                 num_iters=cfg.test.test_iter, out_size=out_size,
                 renderer=cfg.test.renderer,
+                obs_mask=None if obs_mask is None else shard(obs_mask[sl]),
+                obs_depth=(None if obs_depth is None
+                           else shard(obs_depth[sl])),
             )
             trajs.append(jnp.stack([init[sl], best]))
             continue

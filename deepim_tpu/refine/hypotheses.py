@@ -75,6 +75,8 @@ def refine_multi_hypothesis(
     renderer: str = "pallas",
     hyp_rot_deg: float = 20.0,
     hyp_trans: tuple = (0.02, 0.02, 0.08),
+    obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
+    obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
 ) -> tuple[jax.Array, jax.Array]:
     """Refine ``num_hypotheses`` perturbations of each init, keep the best.
 
@@ -99,6 +101,9 @@ def refine_multi_hypothesis(
     refined = refine_poses(
         variables, model, assets, obs_r, hyps, k_r, cls_r,
         num_iters=num_iters, out_size=out_size, renderer=renderer,
+        obs_mask=None if obs_mask is None else jnp.tile(obs_mask, (nh, 1, 1)),
+        obs_depth=(None if obs_depth is None
+                   else jnp.tile(obs_depth, (nh, 1, 1))),
     )
     ab = gather_class(assets, cls_r)
     scores = score_poses(ab, obs_r, refined, k_r, out_size, renderer)

@@ -164,6 +164,19 @@ def test_multi_hypothesis_selects_best(assets):
     # identity net: hypothesis 0 (exact GT init) must win
     np.testing.assert_allclose(np.asarray(best), np.asarray(gt), atol=1e-4)
 
+    # input_depth model: the observed-depth extras tile over hypotheses
+    model_d = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                            with_flow=False, with_mask=False,
+                            input_depth=True)
+    variables_d = model_d.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 8)))
+    best_d, _ = refine_multi_hypothesis(
+        variables_d, model_d, assets, obs, gt, k, cls, jax.random.PRNGKey(3),
+        num_hypotheses=3, num_iters=1, out_size=(H, W), renderer="xla",
+        obs_depth=jnp.ones(obs.shape[:3]),
+    )
+    np.testing.assert_allclose(np.asarray(best_d), np.asarray(gt), atol=1e-4)
+
 
 def test_refine_poses_sharded_matches_single(assets):
     """Sharding the batch axis over the 8-device mesh (the cli.test
