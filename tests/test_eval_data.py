@@ -203,6 +203,53 @@ def test_cli_train_and_test(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_cli_train_pretrained_init(tmp_path):
+    """cfg train.pretrained: a fresh experiment fine-tunes from another
+    experiment's checkpoint (the reference's pretrained-FlowNet init)."""
+    import yaml
+
+    from deepim_tpu.cli import train as cli_train
+    from deepim_tpu.train.checkpoint import restore_params_raw
+
+    base = {
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "train": {"batch_size": 8, "num_steps": 2, "renderer": "xla",
+                  "optimizer": "adam", "lr": 1e-4, "log_every": 1,
+                  "checkpoint_every": 2, "warmup_steps": 0,
+                  "w_flow": 0.0, "w_mask": 0.0},
+        "test": {"test_iter": 1, "batch_size": 8, "renderer": "xla"},
+    }
+    src_cfg = {**base, "experiment": "src"}
+    src_path = str(tmp_path / "src.yaml")
+    with open(src_path, "w") as f:
+        yaml.safe_dump(src_cfg, f)
+    assert cli_train.main(["--cfg", src_path, "--n-devices", "1"]) == 0
+    src_ckpt = os.path.join(str(tmp_path / "out"), "src", "checkpoints")
+
+    ft_cfg = {**base, "experiment": "ft"}
+    ft_cfg["train"] = {**base["train"], "pretrained": src_ckpt,
+                       "pretrained_reinit": ["fc_rot"]}
+    ft_path = str(tmp_path / "ft.yaml")
+    with open(ft_path, "w") as f:
+        yaml.safe_dump(ft_cfg, f)
+    assert cli_train.main(["--cfg", ft_path, "--n-devices", "1"]) == 0
+    # the fine-tuned run trained (its own checkpoint exists and differs
+    # from the source init)
+    ft_ckpt = os.path.join(str(tmp_path / "out"), "ft", "checkpoints")
+    src_params = restore_params_raw(src_ckpt)
+    ft_params = restore_params_raw(ft_ckpt)
+    a = np.asarray(src_params["params"]["conv2"]["Conv_0"]["kernel"])
+    b = np.asarray(ft_params["params"]["conv2"]["Conv_0"]["kernel"])
+    assert a.shape == b.shape and np.abs(a - b).max() > 0  # trained on
+
+
+@pytest.mark.slow
 def test_cli_train_on_disk_lm6d(tmp_path, disk_ds):
     """On-disk LM6d training: TrainBatcher frames + real/syn step mix —
     the reference's real-data TrainDataLoader flow at toy scale."""
