@@ -88,6 +88,13 @@ def main(argv=None):
     bs = cfg.test.batch_size
     obs_depth = obs_mask = None  # input_depth/input_mask extra channels
     batches = None  # synthetic branches fill this; lm6d builds arrays
+    records = None  # lm6d test records (scene/frame ids for BOP export)
+    if args.init_poses and (d.name.startswith("synthetic")
+                            or d.name == "modelnet"):
+        raise SystemExit("--init-poses requires an on-disk dataset; got "
+                         f"dataset.name={d.name!r} — external init poses "
+                         "are matched by (scene, im, obj) ids which "
+                         "generated data does not have")
 
     if d.name == "synthetic_occlusion":
         # Occluded-LINEMOD protocol: observed frames are multi-object
@@ -133,7 +140,8 @@ def main(argv=None):
         records = []
         for obj in d.objects:
             records += ds.gt_roidb(obj, "test")
-        n = (len(records) + bs - 1) // bs * bs
+        num_real = len(records)
+        n = (num_real + bs - 1) // bs * bs
         arrs = make_eval_arrays(ds, records, pad_to=n)
         obs = jnp.asarray(arrs["obs_rgb"])
         obs_depth = (jnp.asarray(arrs["obs_depth"])
@@ -154,12 +162,14 @@ def main(argv=None):
             from deepim_tpu.data.lm6d import apply_bop_init
 
             init_np = np.asarray(init).copy()
-            matched = apply_bop_init(records, init_np, args.init_poses)
+            matched = apply_bop_init(records, init_np, args.init_poses,
+                                     obj_ids=list(d.obj_ids) or None)
             init = jnp.asarray(init_np)
             print(f"external init poses: matched {matched}/{len(records)} "
                   f"records from {args.init_poses}")
 
     if batches is not None:
+        num_real = n  # generated batches have no padding
         obs = jnp.concatenate([b["obs_rgb"] for b in batches])
         pose_gt = jnp.concatenate([b["pose_tgt"] for b in batches])
         init = jnp.concatenate([b["pose_src"] for b in batches])
@@ -240,6 +250,16 @@ def main(argv=None):
     print(f"refined {n} hypotheses x {cfg.test.test_iter} iters "
           f"in {dt:.2f}s ({n / dt:.1f} poses/s, incl. compile)")
 
+    if num_real < n:
+        # Batch padding repeats the last record (make_eval_arrays pad_to);
+        # drop those rows so metrics and exports weight each real record
+        # exactly once.
+        traj = traj[:, :num_real]
+        pose_gt, class_idx, ks = (pose_gt[:num_real], class_idx[:num_real],
+                                  ks[:num_real])
+        obs = obs[:num_real]
+        n = num_real
+
     # Per-iteration tables (reference pred_eval prints per-iter results).
     results = None
     for it in range(traj.shape[0]):
@@ -298,12 +318,29 @@ def main(argv=None):
                             class_idx=cls_np, k=np.asarray(ks))
         print(f"wrote pose trajectories to {path}")
 
-        # BOP-toolkit-compatible CSV of the final refined poses (obj ids
-        # are 1-based in BOP).
+        # BOP-toolkit-compatible CSV of the final refined poses.  Object
+        # ids come from dataset.obj_ids (the dataset's real 1-based BOP
+        # ids) when configured, else positional class_idx+1; on-disk
+        # records also carry their real scene/im ids.
         from deepim_tpu.eval import write_bop_csv
 
+        if d.obj_ids:
+            oid_map = np.asarray(list(d.obj_ids), np.int64)
+            obj_col = oid_map[cls_np]
+        else:
+            obj_col = cls_np + 1
+        scene_ids = im_ids = None
+        if records is not None:
+            def _ints(vals):
+                try:
+                    return np.asarray([int(v) for v in vals], np.int64)
+                except ValueError:
+                    return None
+            scene_ids = _ints([r.scene for r in records])
+            im_ids = _ints([r.frame for r in records])
         csv_path = os.path.join(out_dir, "bop_results.csv")
-        write_bop_csv(csv_path, traj_np[-1], cls_np + 1,
+        write_bop_csv(csv_path, traj_np[-1], obj_col,
+                      scene_ids=scene_ids, im_ids=im_ids,
                       time_s=float(dt) / max(n, 1))
         print(f"wrote BOP results CSV to {csv_path}")
     return 0

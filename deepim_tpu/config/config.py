@@ -130,6 +130,12 @@ class DatasetConfig:
     name: str = "synthetic"  # synthetic | lm6d | lm6d_occ | ycb | modelnet
     root: str = "data"
     objects: tuple = ("box", "icosphere", "cylinder", "torus")
+    # BOP object ids parallel to ``objects`` (used to match/emit external
+    # BOP results CSVs).  Empty = positional default ``class_idx + 1``,
+    # which only round-trips CSVs written by this repo; real datasets need
+    # the true ids (e.g. LINEMOD 'driller' is BOP obj 8 — ids 1..15 with
+    # bowl/cup absent from the 13-class protocol).
+    obj_ids: tuple = ()
     # Evaluation object set; empty = same as ``objects``.  Distinct sets +
     # network.class_agnostic reproduce the reference's ModelNet
     # unseen-category protocol (refine meshes never seen in training).

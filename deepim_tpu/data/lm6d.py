@@ -280,16 +280,22 @@ def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
 
 
 def apply_bop_init(records: list[FrameRecord], init: np.ndarray,
-                   csv_path: str) -> int:
+                   csv_path: str,
+                   obj_ids: list[int] | None = None) -> int:
     """Overwrite ``init[i]`` with external init poses from a BOP results
     CSV, matched by (scene_id, im_id, obj_id).
 
     The reference imports PoseCNN's released results as test-time init
     poses; in the modern ecosystem those circulate as BOP results CSVs
-    (``eval/bop_results.py``).  obj_id is 1-based (BOP convention) =
-    ``class_idx + 1``; scene/frame names must parse as integers (the
-    LM6d layout uses zero-padded numerals).  Mutates ``init`` in place
-    for the first ``len(records)`` rows; returns the match count.
+    (``eval/bop_results.py``).  ``obj_ids`` maps ``class_idx`` (the
+    per-config object-list index) to the dataset's real 1-based BOP
+    object id (``dataset.obj_ids`` cfg); without it the positional
+    default ``class_idx + 1`` only matches CSVs this repo wrote itself —
+    real LINEMOD ids run 1..15 with gaps, so a per-class config's single
+    object would silently match the wrong id.  Scene/frame names must
+    parse as integers (the LM6d layout uses zero-padded numerals).
+    Mutates ``init`` in place for the first ``len(records)`` rows;
+    returns the match count.
     """
     from deepim_tpu.eval.bop_results import read_bop_csv
 
@@ -301,8 +307,10 @@ def apply_bop_init(records: list[FrameRecord], init: np.ndarray,
     }
     matched = 0
     for i, rec in enumerate(records):
+        oid = (obj_ids[rec.class_idx] if obj_ids
+               else rec.class_idx + 1)
         try:
-            key = (int(rec.scene), int(rec.frame), rec.class_idx + 1)
+            key = (int(rec.scene), int(rec.frame), int(oid))
         except ValueError:
             continue
         pose = lut.get(key)

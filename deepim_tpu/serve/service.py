@@ -108,24 +108,49 @@ class PoseRefinerService:
 
     # --- public API -------------------------------------------------------
 
-    def refine(self, obs_rgb, init_pose, k, class_idx):
+    def refine(self, obs_rgb, init_pose, k, class_idx,
+               obs_depth=None, obs_mask=None):
         """Refine N poses; blocks until done.  Arrays are numpy, shapes
-        (N, H, W, 3), (N, 3, 4), (N, 3, 3), (N,) -> (N, 3, 4)."""
+        (N, H, W, 3), (N, 3, 4), (N, 3, 3), (N,) -> (N, 3, 4).
+
+        ``obs_depth`` (N, H, W) metric depth / ``obs_mask`` (N, H, W)
+        foreground mask feed the model's ``input_depth``/``input_mask``
+        channels — REQUIRED for checkpoints trained with those inputs
+        (serving with the rendered-image fallback would silently diverge
+        from the eval-time behavior the checkpoint was validated at).
+        """
         np = self._np
+        if not self._running:
+            raise RuntimeError("PoseRefinerService is closed")
         obs_rgb = np.asarray(obs_rgb, np.float32)
         init_pose = np.asarray(init_pose, np.float32)
         k = np.asarray(k, np.float32)
         class_idx = np.asarray(class_idx, np.int32)
         n = obs_rgb.shape[0]
+        if n == 0:
+            return np.zeros((0, 3, 4), np.float32)
         if obs_rgb.shape[1:3] != self._image_size:
             raise ValueError(
                 f"observed frame {obs_rgb.shape[1:3]} != configured "
                 f"dataset image size {self._image_size}")
+        nw = self.cfg.network
+        if nw.input_depth and obs_depth is None:
+            raise ValueError("model was trained with network.input_depth; "
+                             "refine() requires obs_depth")
+        if nw.input_mask and obs_mask is None:
+            raise ValueError("model was trained with network.input_mask; "
+                             "refine() requires obs_mask")
+        obs_depth = (None if obs_depth is None
+                     else np.asarray(obs_depth, np.float32))
+        obs_mask = (None if obs_mask is None
+                    else np.asarray(obs_mask, bool))
 
         futures = []
         for i in range(n):  # enqueue per-sample; worker coalesces
             f: Future = Future()
-            self._queue.put((obs_rgb[i], init_pose[i], k[i], class_idx[i], f))
+            self._queue.put((obs_rgb[i], init_pose[i], k[i], class_idx[i],
+                             None if obs_depth is None else obs_depth[i],
+                             None if obs_mask is None else obs_mask[i], f))
             futures.append(f)
         out = np.stack([f.result() for f in futures])
         self.stats.record(requests=1, poses=n)
@@ -135,6 +160,17 @@ class PoseRefinerService:
         self._running = False
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=10)
+        # Fail any items still queued (callers blocked in f.result() would
+        # otherwise deadlock — the worker exits without draining).
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[-1].done():
+                item[-1].set_exception(
+                    RuntimeError("PoseRefinerService closed before this "
+                                 "request was processed"))
 
     # --- worker -----------------------------------------------------------
 
@@ -167,6 +203,11 @@ class PoseRefinerService:
 
         from deepim_tpu.refine import refine_poses
 
+        nw = self.cfg.network
+
+        def col(items, j, pad):
+            return np.stack([it[j] for it in items] + [items[0][j]] * pad)
+
         while self._running:
             items = self._gather()
             if items is None:
@@ -174,24 +215,28 @@ class PoseRefinerService:
             b = self.batch
             n = len(items)
             pad = b - n
-            obs = np.stack([it[0] for it in items] + [items[0][0]] * pad)
-            poses = np.stack([it[1] for it in items] + [items[0][1]] * pad)
-            ks = np.stack([it[2] for it in items] + [items[0][2]] * pad)
-            cls = np.stack([it[3] for it in items] + [items[0][3]] * pad)
+            obs, poses, ks, cls = (col(items, j, pad) for j in range(4))
+            # depth/mask columns: refine() guarantees they are present on
+            # every item when the model consumes them; otherwise ignored.
+            depth = (col(items, 4, pad)
+                     if nw.input_depth and items[0][4] is not None else None)
+            mask = (col(items, 5, pad)
+                    if nw.input_mask and items[0][5] is not None else None)
             try:
                 out = refine_poses(
                     self.params, self.model, self.assets, obs, poses, ks,
                     cls, num_iters=self.num_iters, out_size=self._out_size,
                     renderer=self.cfg.test.renderer,
+                    obs_depth=depth, obs_mask=mask,
                     coarse_iters=self._coarse_iters,
                     coarse_size=self._coarse,
                 )
                 out = np.asarray(out)
                 for i, it in enumerate(items):
-                    it[4].set_result(out[i])
+                    it[-1].set_result(out[i])
             except Exception as e:  # surface device errors to callers
                 for it in items:
-                    if not it[4].done():
-                        it[4].set_exception(e)
+                    if not it[-1].done():
+                        it[-1].set_exception(e)
                 continue
             self.stats.record(batches=1, padded=pad)

@@ -128,7 +128,13 @@ def merge_pretrained(template_params, src_params, reinit: tuple = (),
         if t_shape == s_shape:
             stats["loaded"] += 1
             return jax.numpy.asarray(src, dtype=tmpl.dtype)
-        if (len(t_shape) == len(s_shape) >= 2
+        # Input-channel slice rule: 4-D HWIO conv kernels ONLY.  A 2-D
+        # Dense kernel with a longer leading dim (e.g. the flatten pose
+        # head at a different bottleneck grid) must NOT slice — flatten
+        # ordering at a different spatial grid maps rows to entirely
+        # different (y, x, channel) positions, so a slice would load
+        # spatially scrambled weights; those skip to fresh init instead.
+        if (len(t_shape) == len(s_shape) == 4
                 and t_shape[:-2] == s_shape[:-2]
                 and t_shape[-1] == s_shape[-1]
                 and t_shape[-2] > s_shape[-2]):

@@ -203,6 +203,60 @@ def test_cli_train_and_test(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_cli_eval_excludes_padding_and_exports_real_ids(tmp_path, disk_ds):
+    """Batch padding rows (repeated last record) must not be counted in
+    the eval tables or exported to the BOP CSV; the CSV carries the
+    records' real scene/im ids and the configured dataset.obj_ids."""
+    import json
+
+    import yaml
+
+    from deepim_tpu.cli import test as cli_test
+    from deepim_tpu.data.lm6d import LM6DDataset as DS
+    from deepim_tpu.eval.bop_results import read_bop_csv
+
+    ds = DS(disk_ds.root, ["box", "icosphere"])
+    records = ds.gt_roidb("box", "test") + ds.gt_roidb("icosphere", "test")
+    n_real = len(records)
+    bs = 16  # > n_real: the single batch is mostly padding
+    assert n_real < bs
+
+    cfg = {
+        "experiment": "pad_eval",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "lm6d", "root": disk_ds.root,
+                    "objects": ["box", "icosphere"], "obj_ids": [8, 11],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "test": {"test_iter": 1, "batch_size": bs, "renderer": "xla",
+                 "init": "posecnn"},
+    }
+    cfg_path = str(tmp_path / "pad_eval.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    assert cli_test.main(["--cfg", cfg_path, "--save-poses"]) == 0
+
+    out = os.path.join(str(tmp_path / "out"), "pad_eval")
+    with open(os.path.join(out, "eval_results.json")) as f:
+        results = json.load(f)
+    assert sum(r["n"] for r in results["per_class"].values()) == n_real
+
+    bop = read_bop_csv(os.path.join(out, "bop_results.csv"))
+    assert len(bop["poses"]) == n_real  # no duplicate padded estimates
+    assert set(bop["obj_ids"]) <= {8, 11}  # configured ids, not idx+1
+    assert [int(s) for s in bop["scene_ids"]] == \
+        [int(r.scene) for r in records]
+    assert [int(im) for im in bop["im_ids"]] == \
+        [int(r.frame) for r in records]
+
+    traj = np.load(os.path.join(out, "refined_poses.npz"))
+    assert traj["traj"].shape[1] == n_real
+
+
+@pytest.mark.slow
 def test_cli_train_pretrained_init(tmp_path):
     """cfg train.pretrained: a fresh experiment fine-tunes from another
     experiment's checkpoint (the reference's pretrained-FlowNet init)."""
@@ -403,6 +457,32 @@ def test_apply_bop_init(disk_ds, tmp_path):
     np.testing.assert_allclose(init[-1], ext[1], atol=1e-6)
     # unmatched rows untouched
     np.testing.assert_array_equal(init[1:-1], before[1:-1])
+
+
+def test_apply_bop_init_obj_ids_mapping(disk_ds, tmp_path):
+    """Real datasets use non-positional BOP object ids (LINEMOD 'driller'
+    is obj 8): apply_bop_init must match via the dataset.obj_ids map, and
+    the positional default must NOT match such a CSV."""
+    from deepim_tpu.data.lm6d import apply_bop_init
+    from deepim_tpu.eval import write_bop_csv
+
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    records = ds.gt_roidb("box", "test")[:2]
+    obj_ids = [8, 11]  # class_idx 0 -> BOP obj 8 (non-positional)
+    ext = np.stack([_pose(0.5, 0.9), _pose(-0.2, 0.5)])
+    path = str(tmp_path / "init_mapped.csv")
+    write_bop_csv(
+        path, ext,
+        obj_ids=np.array([8, 8]),
+        scene_ids=np.array([int(r.scene) for r in records]),
+        im_ids=np.array([int(r.frame) for r in records]),
+    )
+    init = np.stack([r.pose for r in records]).astype(np.float32)
+    # positional default (class_idx+1 = 1) does not match obj 8
+    assert apply_bop_init(records, init.copy(), path) == 0
+    got = init.copy()
+    assert apply_bop_init(records, got, path, obj_ids=obj_ids) == 2
+    np.testing.assert_allclose(got, ext, atol=1e-6)
 
 
 def test_bop_results_csv_roundtrip(tmp_path):

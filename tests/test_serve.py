@@ -117,3 +117,81 @@ def test_rejects_wrong_image_size(service):
     with pytest.raises(ValueError):
         service.refine(obs, np.zeros((1, 3, 4)), np.zeros((1, 3, 3)),
                        np.zeros((1,), np.int32))
+
+
+def test_empty_request(service):
+    out = service.refine(np.zeros((0, H, W, 3)), np.zeros((0, 3, 4)),
+                         np.zeros((0, 3, 3)), np.zeros((0,), np.int32))
+    assert out.shape == (0, 3, 4)
+
+
+def test_close_fails_pending_and_rejects_new_requests():
+    """close() must fail queued-but-unprocessed futures (callers would
+    deadlock in f.result()) and subsequent refine() calls must raise."""
+    from concurrent.futures import Future
+
+    cfg = config_from_dict(
+        {
+            "experiment": "serve_close_test",
+            "output_dir": "/tmp/serve_test_out",
+            "network": {"input_height": H, "input_width": W,
+                        "dtype": "float32", "fc_dim": 32,
+                        "with_flow": False, "with_mask": False},
+            "dataset": {"name": "synthetic", "objects": ["box"],
+                        "image_height": H, "image_width": W,
+                        "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                        "num_points": 64},
+            "test": {"test_iter": 1, "batch_size": 4, "renderer": "xla"},
+        }
+    )
+    svc = PoseRefinerService(cfg, load_checkpoint=False)
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.refine(np.zeros((1, H, W, 3)), np.zeros((1, 3, 4)),
+                   np.zeros((1, 3, 3)), np.zeros((1,), np.int32))
+    # an item stranded in the queue (worker already exited) is failed by
+    # the close-time drain rather than left to deadlock its caller
+    f: Future = Future()
+    svc._queue.put((np.zeros((H, W, 3), np.float32),
+                    np.zeros((3, 4), np.float32),
+                    np.zeros((3, 3), np.float32),
+                    np.int32(0), None, None, f))
+    svc.close()
+    assert isinstance(f.exception(timeout=1), RuntimeError)
+
+
+def test_input_depth_model_requires_and_uses_obs_depth():
+    """A checkpoint trained with input_depth must be served with observed
+    depth — refine() rejects its absence and matches the direct call."""
+    from deepim_tpu.refine import refine_poses
+
+    cfg = config_from_dict(
+        {
+            "experiment": "serve_depth_test",
+            "output_dir": "/tmp/serve_test_out",
+            "network": {"input_height": H, "input_width": W,
+                        "dtype": "float32", "fc_dim": 32,
+                        "with_flow": False, "with_mask": False,
+                        "input_depth": True},
+            "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                        "image_height": H, "image_width": W,
+                        "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                        "num_points": 64},
+            "test": {"test_iter": 1, "batch_size": 4, "renderer": "xla"},
+        }
+    )
+    svc = PoseRefinerService(cfg, load_checkpoint=False)
+    try:
+        obs, init, ks, cls, _ = _requests(svc, 2, 5)
+        with pytest.raises(ValueError, match="obs_depth"):
+            svc.refine(obs, init, ks, cls)
+        depth = np.full((2, H, W), 0.8, np.float32)
+        out = svc.refine(obs, init, ks, cls, obs_depth=depth)
+        direct = np.asarray(refine_poses(
+            svc.params, svc.model, svc.assets, obs, init, ks, cls,
+            num_iters=svc.num_iters, out_size=(H, W), renderer="xla",
+            obs_depth=depth,
+        ))
+        np.testing.assert_allclose(out, direct, atol=1e-5)
+    finally:
+        svc.close()

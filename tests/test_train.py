@@ -405,6 +405,21 @@ def test_pretrained_partial_init(assets, tmp_path):
         np.asarray(merged_1["params"]["fc_rot"]["kernel"]),
         np.asarray(tmpl_1["params"]["fc_rot"]["kernel"]))
 
+    # A 2-D Dense kernel with a longer leading dim must NOT take the
+    # input-channel slice rule (flatten ordering differs across spatial
+    # grids — a slice would load spatially scrambled weights): a source
+    # trained at a smaller input resolution shape-skips fc1 instead.
+    fc1 = np.asarray(raw["params"]["fc1"]["kernel"])
+    shrunk = {"params": {"fc1": {"kernel": fc1[: fc1.shape[0] // 2]}}}
+    tmpl_fc = {"params": {"fc1": {"kernel":
+                                  np.asarray(tmpl["params"]["fc1"]["kernel"])}}}
+    merged_fc, stats_fc = merge_pretrained(tmpl_fc, shrunk,
+                                           log=lambda *_: None)
+    assert stats_fc["sliced"] == 0 and stats_fc["shape_skipped"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(merged_fc["params"]["fc1"]["kernel"]),
+        np.asarray(tmpl_fc["params"]["fc1"]["kernel"]))
+
     # reinit list forces fresh init even on a shape match.
     tmpl_2 = init_state(cfg, model, jax.random.PRNGKey(3)).params
     merged_2, stats_2 = merge_pretrained(

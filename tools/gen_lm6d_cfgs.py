@@ -19,6 +19,14 @@ LM_CLASSES = [
     "ape", "benchvise", "camera", "can", "cat", "driller", "duck",
     "eggbox", "glue", "holepuncher", "iron", "lamp", "phone",
 ]
+# Real BOP object ids for LINEMOD (ids 1..15; bowl=3 and cup=7 are not in
+# the 13-class protocol, so positional index+1 would be wrong from
+# 'camera' on).  Used to match/emit external BOP results CSVs.
+LM_BOP_IDS = {
+    "ape": 1, "benchvise": 2, "bowl": 3, "camera": 4, "can": 5, "cat": 6,
+    "cup": 7, "driller": 8, "duck": 9, "eggbox": 10, "glue": 11,
+    "holepuncher": 12, "iron": 13, "lamp": 14, "phone": 15,
+}
 # The 8 classes annotated in Occluded-LINEMOD.
 LM_OCC_CLASSES = [
     "ape", "can", "cat", "driller", "duck", "eggbox", "glue",
@@ -37,7 +45,10 @@ YCB_CLASSES = [
 def base_cfg(experiment: str, objects: list[str], root: str) -> dict:
     return {
         "experiment": experiment,
-        "dataset": {"name": "lm6d", "root": root, "objects": objects},
+        "dataset": {"name": "lm6d", "root": root, "objects": objects,
+                    "obj_ids": [LM_BOP_IDS[o] for o in objects]
+                    if all(o in LM_BOP_IDS for o in objects)
+                    else list(range(1, len(objects) + 1))},
         "train": {
             "batch_size": 16,
             "num_steps": 20000,
@@ -74,7 +85,7 @@ def main() -> int:
 
     ycb = base_cfg("ycb_video", YCB_CLASSES, "data/YCB_Video")
     ycb["dataset"]["name"] = "ycb"
-    ycb["dataset"]["use_textures"] = True
+    ycb["dataset"]["use_textures"] = "on"
     # YCB-Video camera intrinsics (the reference's cameras.yml values).
     ycb["dataset"].update(
         {"fx": 1066.778, "fy": 1067.487, "cx": 312.9869, "cy": 241.3109}
