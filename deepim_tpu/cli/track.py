@@ -83,12 +83,23 @@ def main(argv=None):
         init = jnp.asarray(init if init is not None else data["poses"][0])
         cls = jnp.asarray(data["class_idx"])
         ks = jnp.tile(jnp.asarray(k_np)[None], (cls.shape[0], 1, 1))
+        obs_depths = None
+        if cfg.network.input_depth:
+            # input_depth checkpoints must track with the recorded depth
+            # stream, not the rendered-depth fallback.
+            if data["depths"] is not None:
+                obs_depths = jnp.asarray(data["depths"])[:, None].repeat(
+                    cls.shape[0], axis=1)
+            else:
+                print(f"WARNING: seq {seq} has no depth stream; "
+                      "input_depth model falls back to rendered depth")
         traj = refine_video(
             state.params, model, assets, frames, init, ks, cls,
             iters_first=args.iters_first, iters_rest=args.iters_rest,
             out_size=out_size,
             renderer=cfg.test.renderer
             if jax.devices()[0].platform == "tpu" else "xla",
+            obs_depths=obs_depths,
         )
         t_frames, m = traj.shape[0], traj.shape[1]
         all_est.append(np.asarray(traj).reshape(t_frames * m, 3, 4))

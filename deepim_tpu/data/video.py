@@ -63,15 +63,20 @@ class VideoDataset:
         return np.loadtxt(path, dtype=np.float32).reshape(-1, 3, 4)
 
     def load_sequence(self, seq: str) -> dict:
-        """-> frames (T, H, W, 3) f32, poses (T, M, 3, 4), class_idx (M,)."""
+        """-> frames (T, H, W, 3) f32, depths (T, H, W) metric (or None),
+        poses (T, M, 3, 4), class_idx (M,)."""
         objs = self.objects_in(seq)
         fids = self.frame_ids(seq)
-        frames, poses = [], []
+        frames, depths, poses = [], [], []
         for fid in fids:
             rgb = LM6DDataset._read_image(
                 self._vid(seq, fid, "color.png")
             ).astype(np.float32) / 255.0
             frames.append(rgb)
+            dpath = self._vid(seq, fid, "depth.png")
+            if os.path.exists(dpath):
+                depths.append(LM6DDataset._read_image(dpath)
+                              .astype(np.float32) / DEPTH_FACTOR)
             per_obj = [
                 np.loadtxt(self._vid(seq, fid, f"pose_{o}.txt"),
                            dtype=np.float32).reshape(3, 4)
@@ -80,6 +85,8 @@ class VideoDataset:
             poses.append(np.stack(per_obj))
         return {
             "frames": np.stack(frames),
+            "depths": (np.stack(depths) if len(depths) == len(fids)
+                       else None),
             "poses": np.stack(poses),
             "class_idx": np.asarray(
                 [self.class_to_idx[o] for o in objs], np.int32

@@ -126,6 +126,23 @@ def zoom_image(img: jax.Array, box: ZoomBox, out_size: tuple[int, int],
                            method=method, precision=precision)
 
 
+def zoom_image_batch(imgs: jax.Array, box: ZoomBox,
+                     out_size: tuple[int, int], method: str = "bilinear",
+                     precision=None) -> jax.Array:
+    """vmap of :func:`zoom_image` over a leading batch axis.
+
+    ``imgs`` (B, H, W, C) with a per-sample ``box`` of (B,)-shaped fields
+    -> (B, H_out, W_out, C).  The single shared unpack/repack of the
+    per-sample ZoomBox fields (every zoom call site needs it).
+    """
+    return jax.vmap(
+        lambda im, x0, y0, sx, sy: zoom_image(
+            im, ZoomBox(x0, y0, sx, sy), out_size, method=method,
+            precision=precision,
+        )
+    )(imgs, box.x0, box.y0, box.sx, box.sy)
+
+
 def zoom_flow(flow: jax.Array, box: ZoomBox, out_size: tuple[int, int]) -> jax.Array:
     """Crop+resize a flow field (H, W, 2) and rescale the vectors.
 

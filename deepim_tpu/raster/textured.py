@@ -138,7 +138,8 @@ def sample_texture_atlas(textures: jax.Array, tex_idx: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("image_size", "z_near", "interpret", "binning"),
+    static_argnames=("image_size", "z_near", "interpret", "binning",
+                     "max_faces_per_tile", "spans"),
 )
 def render_batch_textured(
     tri_pos: jax.Array,  # (B, 9, F) corner-major object-frame positions
@@ -154,11 +155,15 @@ def render_batch_textured(
     interpret: bool = False,
     binning: str = "auto",
     tex_idx: jax.Array | None = None,  # (B,) class index into the atlas
+    max_faces_per_tile: int = 512,
+    spans: tuple[int, int] = (4, 2),
 ) -> tuple[jax.Array, jax.Array]:
     """Textured render -> (rgb (B, H, W, 3), depth (B, H, W)).
 
     Raster pass interpolates (u, v, intensity); deferred pass samples the
     texture bilinearly and applies intensity.  Background stays 0.
+    ``max_faces_per_tile``/``spans`` tune the shared raster dispatch the
+    same way as the untextured ``render_batch_tri``.
     """
     pack = jax.vmap(
         lambda tp, tu, tn, p, kk: pack_tri_params_uv(
@@ -167,7 +172,8 @@ def render_batch_textured(
     )
     params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses, ks)
     uvi, depth = _render_dispatch(params, bbox, face_ok, image_size,
-                                  (32, 256), 512, interpret, binning)
+                                  (32, 256), max_faces_per_tile, interpret,
+                                  binning, spans)
     u, v, intensity = uvi[..., 0], uvi[..., 1], uvi[..., 2]
     if texture.ndim == 4 and tex_idx is not None:
         albedo = sample_texture_atlas(texture, tex_idx, u, v)

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from deepim_tpu.data.pairs import perturb_poses
-from deepim_tpu.ops.zoom import ZoomBox, compute_zoom_box, zoom_image, zoom_intrinsics
+from deepim_tpu.ops.zoom import (
+    compute_zoom_box, zoom_image_batch, zoom_intrinsics,
+)
 from deepim_tpu.refine.refiner import (
     RenderAssets,
     gather_class,
@@ -43,16 +45,16 @@ def score_poses(
     )(poses, k, assets_b.corners)
     kz = zoom_intrinsics(k, box)
     ren_rgb, ren_depth = render_crops(assets_b, poses, kz, out_size, renderer)
-    obs_crop = jax.vmap(
-        lambda im, x0, y0, sx, sy: zoom_image(
-            im, ZoomBox(x0, y0, sx, sy), out_size,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-    )(obs_rgb, box.x0, box.y0, box.sx, box.sy)
+    obs_crop = zoom_image_batch(obs_rgb, box, out_size,
+                                precision=jax.lax.Precision.DEFAULT)
     fg = (ren_depth > 0).astype(jnp.float32)
     diff = jnp.mean(jnp.abs(obs_crop - ren_rgb), axis=-1) * fg
-    denom = jnp.maximum(jnp.sum(fg, axis=(1, 2)), 1.0)
-    return -jnp.sum(diff, axis=(1, 2)) / denom
+    fg_count = jnp.sum(fg, axis=(1, 2))
+    score = -jnp.sum(diff, axis=(1, 2)) / jnp.maximum(fg_count, 1.0)
+    # A pose that renders NO foreground (diverged past the near plane /
+    # out of frame) would otherwise score a perfect 0.0 and beat every
+    # valid hypothesis at the argmax; it must lose to any visible one.
+    return jnp.where(fg_count > 0, score, -jnp.inf)
 
 
 @partial(

@@ -29,7 +29,9 @@ from deepim_tpu.geometry.delta_pose import DeltaPose, apply_delta
 from deepim_tpu.models.flownet import (
     decode_rot, network_input, normalize_depth, select_class,
 )
-from deepim_tpu.ops.zoom import compute_zoom_box, zoom_image, zoom_intrinsics
+from deepim_tpu.ops.zoom import (
+    compute_zoom_box, zoom_image_batch, zoom_intrinsics,
+)
 from deepim_tpu.raster import raster_pallas, raster_xla
 
 
@@ -155,8 +157,14 @@ def _texture_fields(meshes, padded, use_textures):
 
     texs = []
     for m in meshes:
-        if m.texture is not None:
+        if m.texture is not None and m.uv is not None:
             texs.append(np.asarray(m.texture[..., :3], np.float32))
+        elif m.texture is not None:
+            # texture but no UVs: sampling at the uv=0.5 placeholder would
+            # paint the whole object one ARBITRARY center texel; a flat
+            # texture-mean canvas is the sensible appearance instead.
+            mean = np.asarray(m.texture[..., :3], np.float32).mean((0, 1))
+            texs.append(np.broadcast_to(mean, (2, 2, 3)).copy())
         else:
             mean = m.colors.mean(0).astype(np.float32)
             texs.append(np.broadcast_to(mean, (2, 2, 3)).copy())
@@ -214,11 +222,15 @@ def render_crops(
     if assets_b.textured and renderer in ("pallas", "pallas_interpret"):
         from deepim_tpu.raster.textured import render_batch_textured
 
+        # Same crop-regime tuning as the untextured branch below: faces
+        # fill the frame, so exact binning spans and the caller's
+        # per-tile face budget apply here too.
         return render_batch_textured(
             assets_b.tri_pos, assets_b.tri_uv, assets_b.tri_nrm,
             poses, ks, out_size, assets_b.textures, lighting=lighting,
             interpret=renderer == "pallas_interpret",
             tex_idx=assets_b.tex_idx,
+            max_faces_per_tile=max_faces_per_tile, spans=(8, 3),
         )
     if renderer in ("pallas", "pallas_interpret"):
         # spans (8, 3): the crop intrinsics make the object fill the
@@ -320,12 +332,10 @@ def refine_step(
         ren_rgb, ren_depth = render_crops(assets_b, pose, k_zoom, out_size,
                                           renderer)
     with jax.named_scope("zoom_obs"):
-        obs_crop = jax.vmap(
-            lambda im, x0, y0, sx, sy: zoom_image(
-                im, type(box)(x0, y0, sx, sy), out_size,
-                precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
-            )
-        )(obs_rgb, box.x0, box.y0, box.sx, box.sy)
+        obs_crop = zoom_image_batch(
+            obs_rgb, box, out_size,
+            precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
+        )
 
     extras = ()
     if getattr(model, "input_mask", False):
@@ -335,12 +345,10 @@ def refine_step(
         # best available estimate of the object's observed extent.
         ren_mask = (ren_depth > 0).astype(jnp.float32)[..., None]
         if obs_mask is not None:
-            obs_mask_in = jax.vmap(
-                lambda im, x0, y0, sx, sy: zoom_image(
-                    im[..., None].astype(jnp.float32),
-                    type(box)(x0, y0, sx, sy), out_size, method="nearest",
-                )
-            )(obs_mask, box.x0, box.y0, box.sx, box.sy)
+            obs_mask_in = zoom_image_batch(
+                obs_mask[..., None].astype(jnp.float32), box, out_size,
+                method="nearest",
+            )
         else:
             obs_mask_in = ren_mask
         extras = (ren_mask, obs_mask_in)
@@ -349,12 +357,9 @@ def refine_step(
         # rendered depth doubles as the best available observed estimate.
         z_src = pose[:, 2, 3]
         if obs_depth is not None:
-            obs_depth_in = jax.vmap(
-                lambda im, x0, y0, sx, sy: zoom_image(
-                    im[..., None], type(box)(x0, y0, sx, sy), out_size,
-                    method="nearest",
-                )
-            )(obs_depth, box.x0, box.y0, box.sx, box.sy)[..., 0]
+            obs_depth_in = zoom_image_batch(
+                obs_depth[..., None], box, out_size, method="nearest",
+            )[..., 0]
         else:
             obs_depth_in = ren_depth
         extras = (*extras, normalize_depth(ren_depth, z_src),
@@ -433,6 +438,13 @@ def refine_poses(
     trajs = [init_pose[None]]
     coarse_iters = min(coarse_iters, num_iters)
     if coarse_iters > 0:
+        if (getattr(model, "pose_head", "flatten") == "flatten"
+                and getattr(model, "head_grid", None) is None):
+            raise ValueError(
+                "coarse_iters > 0 needs one pose head shared across "
+                "resolutions: build the model with head_grid="
+                "bottleneck_grid(H, W) (a flatten head without it fails "
+                "deep inside model.apply with a Dense shape mismatch)")
         c_size = coarse_size or (out_size[0] // 2, out_size[1] // 2)
         pose, traj_c = jax.lax.scan(make_step(c_size), pose, None,
                                     length=coarse_iters)

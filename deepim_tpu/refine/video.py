@@ -35,29 +35,45 @@ def refine_video(
     iters_rest: int = 2,
     out_size: tuple[int, int] = (480, 640),
     renderer: str = "pallas",
+    obs_masks: jax.Array | None = None,  # (T, B, H, W) for input_mask
+    obs_depths: jax.Array | None = None,  # (T, B, H, W) for input_depth
 ) -> jax.Array:
     """Track B objects through T frames -> refined poses (T, B, 3, 4).
 
     ``iters_first`` refinement iterations on frame 0 (large init error),
     ``iters_rest`` on subsequent frames (small frame-to-frame motion) —
-    the standard tracking budget split.
+    the standard tracking budget split.  Models trained with
+    ``input_mask``/``input_depth`` take per-frame observed masks/depths;
+    without them refine_step falls back to the rendered channels (a
+    train/test input mismatch that degrades such models).
     """
     assets_b = gather_class(assets, class_idx)
 
-    def refine_n(pose, frame, n):
+    def refine_n(pose, frame, mask, depth, n):
         def one(p, _):
             outs = refine_step(variables, model, assets_b, frame, p, k,
-                               class_idx, out_size, renderer)
+                               class_idx, out_size, renderer,
+                               obs_mask=mask, obs_depth=depth)
             return outs.pose, None
 
         pose, _ = jax.lax.scan(one, pose, None, length=n)
         return pose
 
-    pose0 = refine_n(init_pose, frames[0], iters_first)
+    m0 = None if obs_masks is None else obs_masks[0]
+    d0 = None if obs_depths is None else obs_depths[0]
+    pose0 = refine_n(init_pose, frames[0], m0, d0, iters_first)
 
-    def step(pose, frame):
-        pose = refine_n(pose, frame, iters_rest)
+    # Optional streams scan as a dict pytree with only the present keys.
+    xs = {"frame": frames[1:]}
+    if obs_masks is not None:
+        xs["mask"] = obs_masks[1:]
+    if obs_depths is not None:
+        xs["depth"] = obs_depths[1:]
+
+    def step(pose, x):
+        pose = refine_n(pose, x["frame"], x.get("mask"), x.get("depth"),
+                        iters_rest)
         return pose, pose
 
-    _, rest = jax.lax.scan(step, pose0, frames[1:])
+    _, rest = jax.lax.scan(step, pose0, xs)
     return jnp.concatenate([pose0[None], rest], axis=0)

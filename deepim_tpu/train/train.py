@@ -42,7 +42,9 @@ from deepim_tpu.models.flownet import (
     select_class,
 )
 from deepim_tpu.ops.flow_gt import calc_flow
-from deepim_tpu.ops.zoom import ZoomBox, compute_zoom_box, zoom_image, zoom_intrinsics
+from deepim_tpu.ops.zoom import (
+    compute_zoom_box, zoom_image_batch, zoom_intrinsics,
+)
 from deepim_tpu.parallel.mesh import DATA_AXIS
 from deepim_tpu.refine.refiner import RenderAssets, gather_class, render_crops
 
@@ -110,15 +112,6 @@ def init_state(cfg: Config, model: DeepIMFlowNet, key: jax.Array) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
 
 
-def _zoom_batch(imgs, box: ZoomBox, out_size, method, precision=None):
-    return jax.vmap(
-        lambda im, x0, y0, sx, sy: zoom_image(
-            im, ZoomBox(x0, y0, sx, sy), out_size, method=method,
-            precision=precision,
-        )
-    )(imgs, box.x0, box.y0, box.sx, box.sy)
-
-
 def compute_losses(
     params,
     model: DeepIMFlowNet,
@@ -147,12 +140,12 @@ def compute_losses(
         kz = zoom_intrinsics(k, box)
         ren_rgb, ren_depth = render_crops(ab, pose_src, kz, out_size,
                                           t.renderer)
-        obs_crop = _zoom_batch(batch["obs_rgb"], box, out_size, "bilinear",
+        obs_crop = zoom_image_batch(batch["obs_rgb"], box, out_size, "bilinear",
                                precision=jax.lax.Precision.DEFAULT)
         extras = ()
         if model.input_mask:
             # Reference 8-channel mode: rendered mask + observed mask.
-            obs_mask_in = _zoom_batch(
+            obs_mask_in = zoom_image_batch(
                 batch["obs_mask"][..., None].astype(jnp.float32), box,
                 out_size, "nearest",
             )
@@ -161,7 +154,7 @@ def compute_losses(
         if model.input_depth:
             # Reference INPUT_DEPTH mode: rendered + observed depth crops,
             # normalized by the source estimate's object z.
-            obs_depth_in = _zoom_batch(
+            obs_depth_in = zoom_image_batch(
                 batch["obs_depth"][..., None], box, out_size, "nearest",
             )[..., 0]
             z_src = pose_src[:, 2, 3]
@@ -192,7 +185,7 @@ def compute_losses(
             metrics[f"pm_loss_{it}"] = jnp.mean(pm)
 
         if model.with_flow and t.w_flow > 0:
-            obs_depth_crop = _zoom_batch(
+            obs_depth_crop = zoom_image_batch(
                 batch["obs_depth"][..., None], box, out_size, "nearest"
             )[..., 0]
             flow_gt, valid = jax.vmap(
@@ -203,7 +196,7 @@ def compute_losses(
             metrics[f"flow_loss_{it}"] = jnp.mean(fl)
 
         if model.with_mask and t.w_mask > 0:
-            obs_mask_crop = _zoom_batch(
+            obs_mask_crop = zoom_image_batch(
                 batch["obs_mask"][..., None].astype(jnp.float32), box,
                 out_size, "nearest",
             )[..., 0]

@@ -178,6 +178,42 @@ def test_multi_hypothesis_selects_best(assets):
     np.testing.assert_allclose(np.asarray(best_d), np.asarray(gt), atol=1e-4)
 
 
+def test_empty_render_scores_neg_inf(assets):
+    """A hypothesis rendering zero foreground pixels must lose to every
+    visible hypothesis (score 0.0 would otherwise be the argmax winner)."""
+    from deepim_tpu.refine import gather_class
+    from deepim_tpu.refine.hypotheses import score_poses
+    from deepim_tpu.refine.refiner import render_crops
+
+    cls = jnp.array([0, 0])
+    ab = gather_class(assets, cls)
+    k_small = jnp.array([[150.0, 0, 80], [0, 150.0, 48], [0, 0, 1]])
+    k = jnp.tile(k_small[None], (2, 1, 1))
+    gt = jnp.stack([_pose(0.3), _pose(0.3)])
+    obs, _ = render_crops(ab, gt, k, (96, 160), "xla")
+    # second pose behind the camera: every face z < z_near is culled
+    behind = gt.at[1, 2, 3].set(-0.5)
+    s = np.asarray(score_poses(ab, obs, behind, k, (H, W), "xla"))
+    assert np.isfinite(s[0])
+    assert s[1] == -np.inf
+    assert s[0] > s[1]
+
+
+def test_coarse_iters_requires_head_grid(assets):
+    """coarse_iters with a flatten head lacking head_grid fails with a
+    clear ValueError, not a deep flax shape error."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    pose = jnp.stack([_pose(0.3), _pose(0.2)])
+    k = jnp.tile(jnp.asarray(K_CAM)[None], (2, 1, 1))
+    obs = jnp.zeros((2, 96, 160, 3))
+    with pytest.raises(ValueError, match="head_grid"):
+        refine_poses(variables, model, assets, obs, pose, k,
+                     jnp.array([0, 1]), num_iters=2, out_size=(H, W),
+                     renderer="xla", coarse_iters=1)
+
+
 def test_refine_poses_sharded_matches_single(assets):
     """Sharding the batch axis over the 8-device mesh (the cli.test
     data-parallel eval path) gives the same refined poses as one device."""

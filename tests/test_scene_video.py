@@ -101,6 +101,36 @@ def test_refine_video_shapes(assets):
     np.testing.assert_allclose(out[-1], init, atol=1e-5)
 
 
+def test_refine_video_obs_depth_plumbed(assets):
+    """input_depth tracking consumes the per-frame observed depth stream
+    (not the rendered fallback): different depths -> different outputs."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False,
+                          input_depth=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 8)))
+    # non-identity head weights so the depth channel can influence output
+    variables = jax.tree.map(
+        lambda p: p + 0.01 * jnp.arange(p.size, dtype=p.dtype
+                                        ).reshape(p.shape) / p.size,
+        variables)
+    T, B = 2, 2
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (T, B, 96, 160, 3))
+    init = jnp.stack([_pose(0.7), _pose(0.8, tx=0.05)])
+    k = jnp.tile(K_CAM[None], (B, 1, 1))
+    depths_a = jnp.full((T, B, 96, 160), 0.7)
+    depths_b = jnp.full((T, B, 96, 160), 1.4)
+    out_a = refine_video(variables, model, assets, frames, init, k,
+                         jnp.array([0, 1]), iters_first=1, iters_rest=1,
+                         out_size=(H, W), renderer="xla",
+                         obs_depths=depths_a)
+    out_b = refine_video(variables, model, assets, frames, init, k,
+                         jnp.array([0, 1]), iters_first=1, iters_rest=1,
+                         out_size=(H, W), renderer="xla",
+                         obs_depths=depths_b)
+    assert out_a.shape == (T, B, 3, 4)
+    assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-7
+
+
 def test_mxnet_converter_roundtrip():
     from deepim_tpu.train.convert_mxnet import (
         convert_mxnet_dict, export_flax_to_mxnet_npz, load_mxnet_npz,

@@ -223,6 +223,27 @@ def test_textured_assets_refine_loop():
     np.testing.assert_allclose(np.asarray(out), np.asarray(pose), atol=1e-5)
 
 
+def test_texture_without_uv_falls_back_to_mean():
+    """A mesh carrying a texture but no UVs must render as the texture's
+    MEAN color, not whatever texel sits at the uv=0.5 placeholder."""
+    from deepim_tpu.raster.mesh import box_mesh
+    from deepim_tpu.refine import build_assets
+
+    tex = np.zeros((16, 16, 3), np.float32)
+    tex[..., 1] = 0.8  # uniform green... except an arbitrary center texel
+    tex[8, 8] = [1.0, 0.0, 0.0]
+    box = box_mesh((0.08, 0.1, 0.06))
+    box_tex = Mesh(box.vertices, box.faces, box.colors, box.normals,
+                   uv=None, texture=tex)
+    quad = _textured_quad(n=2)  # a real textured mesh to turn the atlas on
+    assets = build_assets([box_tex, quad], num_points=64)
+    canvas = np.asarray(assets.textures[0])
+    mean = tex.mean((0, 1))
+    # the box's canvas corner is the flat texture mean (broadcast 2x2)
+    np.testing.assert_allclose(canvas[:2, :2], np.broadcast_to(mean, (2, 2, 3)),
+                               atol=1e-6)
+
+
 def test_atlas_uv_rescale_mixed_sizes():
     """Textures of different sizes share one padded atlas; the UV rescale
     must keep each mesh sampling its own texels exactly."""
