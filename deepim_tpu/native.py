@@ -5,7 +5,12 @@ layers (MXNet engine's threaded IO, GL-side mesh handling): PLY parsing,
 mesh normals/sampling/decimation, PNG decoding, and a threaded file
 prefetcher.  Every entry point has a pure-Python fallback in the modules
 that call it — ``available()`` gates usage, nothing hard-depends on the
-.so being buildable.
+.so being buildable.  Production wiring: load_ply/decode_png/prefetch
+always route here when available; vertex normals and decimation switch
+over above ``mesh._NATIVE_MIN_FACES`` (real 100k+-face scans) so small
+procedural meshes keep byte-stable numpy numerics; ``sample_points``
+deliberately stays numpy in the seeded PM-point protocol (its xorshift
+stream differs) and serves big-mesh toolkit use.
 
 The library is built lazily with ``make -C native`` (g++ + zlib only) the
 first time it's needed.
@@ -131,8 +136,8 @@ def vertex_normals(vertices: np.ndarray, faces: np.ndarray):
 def sample_points(vertices: np.ndarray, faces: np.ndarray, n: int,
                   seed: int = 0):
     lib = _lib()
-    if lib is None:
-        return None
+    if lib is None or len(faces) == 0 or n <= 0:
+        return None  # nothing to sample from; callers fall back / error
     v = np.ascontiguousarray(vertices, np.float32)
     f = np.ascontiguousarray(faces, np.int32)
     out = np.zeros((n, 3), np.float32)

@@ -62,8 +62,27 @@ class Mesh:
         return float(np.sqrt(d2.max()))
 
 
+# Face count above which load-time mesh ops route to the native C++
+# implementations (numpy's np.add.at scatter is unbuffered-slow; real
+# LINEMOD/YCB scans are 100k+ faces).  Below it, numpy keeps the
+# procedural/test meshes' numerics byte-stable regardless of whether the
+# .so built.
+_NATIVE_MIN_FACES = 20_000
+
+
 def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
-    """Area-weighted vertex normals (numpy, load-time only)."""
+    """Area-weighted vertex normals (load-time only).
+
+    Native C++ path (``deepim_native.cpp §dn_vertex_normals``) for big
+    scanned meshes; numpy fallback/oracle below the threshold.
+    """
+    if len(faces) >= _NATIVE_MIN_FACES:
+        from deepim_tpu import native
+
+        out = native.vertex_normals(
+            np.asarray(vertices, np.float32), np.asarray(faces, np.int32))
+        if out is not None:
+            return out
     v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
     fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
     normals = np.zeros_like(vertices)
@@ -73,13 +92,16 @@ def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarra
     return (normals / np.maximum(norm, 1e-12)).astype(np.float32)
 
 
-def make_mesh(vertices, faces, colors=None) -> Mesh:
+def make_mesh(vertices, faces, colors=None, uv=None, texture=None) -> Mesh:
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int32)
     if colors is None:
         colors = np.full_like(vertices, 0.7)
     colors = np.asarray(colors, np.float32)
-    return Mesh(vertices, faces, colors, compute_vertex_normals(vertices, faces))
+    return Mesh(vertices, faces, colors,
+                compute_vertex_normals(vertices, faces),
+                uv=None if uv is None else np.asarray(uv, np.float32),
+                texture=texture)
 
 
 # ---------------------------------------------------------------------------
@@ -630,9 +652,11 @@ def _sniff_texture(path: str) -> str | None:
             line = f.readline().decode("ascii", "replace").strip()
             if line.startswith("comment TextureFile"):
                 tex_file = line.split()[-1]
-            if line.startswith("property") and line.endswith(
-                ("texture_u", "s")
+            if line.startswith("property") and line.split()[-1] in (
+                "texture_u", "s", "u",
             ):
+                # match the PROPERTY NAME token only — a suffix test on
+                # the whole line matched 'property list ... vertex_indices'
                 has_uv = True
             if line == "end_header" or not line:
                 break
@@ -855,6 +879,15 @@ def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:
     """
     if mesh.num_faces <= max_faces:
         return mesh
+    if mesh.num_faces >= _NATIVE_MIN_FACES and mesh.uv is None:
+        # Big scanned meshes: C++ clustering (same algorithm); textured
+        # meshes stay on the Python path, which remaps UVs per cluster.
+        from deepim_tpu import native
+
+        out = native.decimate(mesh.vertices, mesh.colors, mesh.faces,
+                              max_faces)
+        if out is not None:
+            return make_mesh(*out)
     lo, hi = 4, 512  # grid resolutions to search
     best = None
     vmin = mesh.vertices.min(0)
@@ -871,6 +904,14 @@ def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:
         for d in range(3):
             new_v[:, d] = np.bincount(inv, mesh.vertices[:, d]) / counts
             new_c[:, d] = np.bincount(inv, mesh.colors[:, d]) / counts
+        new_uv = None
+        if mesh.uv is not None:
+            # cluster-mean UVs (like colors) keep the texture path alive
+            # through decimation; imperfect at seams but far better than
+            # silently dropping the texture.
+            new_uv = np.zeros((len(uniq), 2), np.float64)
+            for d in range(2):
+                new_uv[:, d] = np.bincount(inv, mesh.uv[:, d]) / counts
         nf = inv[mesh.faces]
         keep = (
             (nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2]) & (nf[:, 0] != nf[:, 2])
@@ -881,7 +922,8 @@ def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:
         _, uidx = np.unique(sorted_f, axis=0, return_index=True)
         nf = nf[np.sort(uidx)]
         if nf.shape[0] <= max_faces:
-            best = make_mesh(new_v, nf.astype(np.int32), new_c)
+            best = make_mesh(new_v, nf.astype(np.int32), new_c,
+                             uv=new_uv, texture=mesh.texture)
             lo = res + 1  # try finer
         else:
             hi = res - 1
@@ -889,7 +931,8 @@ def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:
         keep = np.random.RandomState(seed).choice(
             mesh.num_faces, max_faces, replace=False
         )
-        best = make_mesh(mesh.vertices, mesh.faces[np.sort(keep)], mesh.colors)
+        best = make_mesh(mesh.vertices, mesh.faces[np.sort(keep)],
+                         mesh.colors, uv=mesh.uv, texture=mesh.texture)
     return best
 
 

@@ -131,12 +131,16 @@ def pack_face_params(vertices, faces, colors, normals, pose, k,
     return _plane_pack(xy, zs, col, face_ok)
 
 
-def pack_tri_params(tri_pos, tri_col, tri_nrm, pose, k,
-                    lighting: Lighting, z_near: float):
-    """Corner-major SoA pack: zero gathers, all-(F,) vector math.
+def pack_corner_major(tri_pos, tri_nrm, pose, k, lighting: Lighting,
+                      z_near: float, channels_fn):
+    """Shared corner-major projection + two-sided Gouraud lighting.
 
-    ``tri_pos/tri_col/tri_nrm`` are (9, F) — row 3*corner+coord — built
-    once per asset set (``RenderAssets.tri_*``).
+    Zero gathers, all-(F,) vector math; ``tri_pos/tri_nrm`` are (9, F) —
+    row 3*corner+coord.  ``channels_fn(corner, intensity) -> (c0, c1, c2)``
+    supplies the three interpolated channels per corner (shaded RGB for
+    the baked path, (u, v, intensity) for the deferred-texture path), so
+    both packs stay bit-identical in the pose/projection/lighting math
+    and z-merge-compatible.
     """
     r, t = pose[..., :3], pose[..., 3]
     l = lighting.direction / jnp.maximum(
@@ -163,11 +167,24 @@ def pack_tri_params(tri_pos, tri_col, tri_nrm, pose, k,
         ndotl = ncx * l[0] + ncy * l[1] + ncz * l[2]
         # Two-sided shading == shade_vertices: max(n·l, -n·l, 0) = |n·l|.
         intensity = lighting.ambient + lighting.diffuse * jnp.abs(ndotl)
-        col.append(tuple(
+        col.append(channels_fn(c, intensity))
+    return _plane_pack(tuple(xy), tuple(zs), tuple(col), ok)
+
+
+def pack_tri_params(tri_pos, tri_col, tri_nrm, pose, k,
+                    lighting: Lighting, z_near: float):
+    """Corner-major SoA pack with baked per-corner shaded colors.
+
+    ``tri_pos/tri_col/tri_nrm`` are (9, F) — row 3*corner+coord — built
+    once per asset set (``RenderAssets.tri_*``).
+    """
+    return pack_corner_major(
+        tri_pos, tri_nrm, pose, k, lighting, z_near,
+        lambda c, intensity: tuple(
             jnp.clip(tri_col[3 * c + ch] * intensity, 0.0, 1.0)
             for ch in range(3)
-        ))
-    return _plane_pack(tuple(xy), tuple(zs), tuple(col), ok)
+        ),
+    )
 
 
 def bin_faces(bbox, face_ok, image_size, tile, max_faces_per_tile):
@@ -380,7 +397,7 @@ def _face_block(p8, px, py, z, r, g, b):
 def _raster_kernel_cols(starts_smem, glob_smem, ids_hbm, params_ref,
                         rgb_ref, depth_ref,
                         ids_smem, p8s, zsc, rsc, gsc, bsc, dma_sem,
-                        *, n_subs, cap, g_max):
+                        *, n_subs, cap):
     """Column raster kernel: grid (B, X columns of 128 px).
 
     Each step owns a full (n_subs*8, 128) image column.  The sorted face
@@ -518,8 +535,7 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
     ids_p = jnp.zeros((b, nr), jnp.int32).at[:, :ns].set(face_ids)
     ids_p = ids_p.reshape(b, nr // 128, 128)
 
-    kernel = functools.partial(_raster_kernel_cols, n_subs=n_subs, cap=cap,
-                               g_max=global_cap)
+    kernel = functools.partial(_raster_kernel_cols, n_subs=n_subs, cap=cap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, n_cols),
@@ -609,6 +625,9 @@ def _render_chunk(params, bbox, face_ok, image_size, tile,
     if binning == "auto":
         binning = "cols" if f >= _COLS_MIN_FACES else "sort"
     if binning == "cols":
+        # The column kernel bins on (8, 128) sub-tiles with its own tuned
+        # spans/caps — the caller's `spans` (sort-path (32, 256) tile
+        # geometry) and `max_faces_per_tile` deliberately do NOT apply.
         return _render_from_params_cols(params, bbox, face_ok, image_size,
                                         interpret)
     if binning == "sort":

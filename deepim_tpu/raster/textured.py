@@ -23,7 +23,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from deepim_tpu.raster.raster_pallas import _plane_pack, _render_dispatch
+from deepim_tpu.raster.raster_pallas import (
+    _render_dispatch, pack_corner_major,
+)
 from deepim_tpu.raster.raster_xla import FLAT_LIGHTING, Lighting
 
 
@@ -45,34 +47,14 @@ def pack_tri_params_uv(tri_pos, tri_uv, tri_nrm, pose, k,
     ``tri_pos/tri_nrm`` are (9, F) corner-major; ``tri_uv`` is (6, F).
     Channel 2 interpolates the Gouraud intensity so lighting composes with
     the deferred texture lookup exactly like the baked path
-    (color = albedo * intensity).
+    (color = albedo * intensity).  The projection/lighting math is the
+    SHARED :func:`pack_corner_major` — both packs stay bit-identical and
+    z-merge-compatible by construction.
     """
-    r, t = pose[..., :3], pose[..., 3]
-    l = lighting.direction / jnp.maximum(
-        jnp.linalg.norm(lighting.direction), 1e-8
+    return pack_corner_major(
+        tri_pos, tri_nrm, pose, k, lighting, z_near,
+        lambda c, intensity: (tri_uv[2 * c], tri_uv[2 * c + 1], intensity),
     )
-    xy, zs, col = [], [], []
-    ok = None
-    for c in range(3):
-        px, py, pz = tri_pos[3 * c], tri_pos[3 * c + 1], tri_pos[3 * c + 2]
-        cx = r[0, 0] * px + r[0, 1] * py + r[0, 2] * pz + t[0]
-        cy = r[1, 0] * px + r[1, 1] * py + r[1, 2] * pz + t[1]
-        cz = r[2, 0] * px + r[2, 1] * py + r[2, 2] * pz + t[2]
-        z_safe = jnp.where(jnp.abs(cz) < 1e-8, 1e-8, cz)
-        u = k[0, 0] * cx / z_safe + k[0, 2]
-        v = k[1, 1] * cy / z_safe + k[1, 2]
-        xy.append((u, v))
-        zs.append(cz)
-        ok = (cz > z_near) if ok is None else ok & (cz > z_near)
-
-        nx, ny, nz = tri_nrm[3 * c], tri_nrm[3 * c + 1], tri_nrm[3 * c + 2]
-        ncx = r[0, 0] * nx + r[0, 1] * ny + r[0, 2] * nz
-        ncy = r[1, 0] * nx + r[1, 1] * ny + r[1, 2] * nz
-        ncz = r[2, 0] * nx + r[2, 1] * ny + r[2, 2] * nz
-        ndotl = ncx * l[0] + ncy * l[1] + ncz * l[2]
-        intensity = lighting.ambient + lighting.diffuse * jnp.abs(ndotl)
-        col.append((tri_uv[2 * c], tri_uv[2 * c + 1], intensity))
-    return _plane_pack(tuple(xy), tuple(zs), tuple(col), ok)
 
 
 def sample_texture_bilinear(texture: jax.Array, u: jax.Array,

@@ -172,19 +172,31 @@ int dn_load_ply(const char* path, float** vertices, float** colors,
       for (long r = 0; r < el.count; r++) {
         std::vector<double> vals(el.props.size());
         std::vector<long> list_vals;
+        bool got_list = false;
         for (size_t pi = 0; pi < el.props.size(); pi++) {
           const auto& p = el.props[pi];
           if (!p.list_type.empty()) {
             int cs = type_size(p.type);
+            if (pos + cs > buf.size()) return -6;
             long n = (long)read_scalar(&buf[pos], p.type);
             pos += cs;
             int es = type_size(p.list_type);
-            for (long k = 0; k < n; k++) {
-              list_vals.push_back((long)read_scalar(&buf[pos], p.list_type));
-              pos += es;
+            if (n < 0 || pos + (size_t)n * es > buf.size()) return -6;
+            if (!got_list) {
+              // Only the FIRST list property holds the vertex indices; a
+              // second list (YCB-style per-face float texcoords) must be
+              // skipped, not fan-triangulated as bogus faces.
+              for (long k = 0; k < n; k++) {
+                list_vals.push_back((long)read_scalar(&buf[pos], p.list_type));
+                pos += es;
+              }
+              got_list = true;
+            } else {
+              pos += (size_t)n * es;
             }
           } else {
             int cs = type_size(p.type);
+            if (pos + cs > buf.size()) return -6;
             vals[pi] = read_scalar(&buf[pos], p.type);
             pos += cs;
           }
@@ -267,6 +279,10 @@ static inline double rng01(uint64_t* s) {
 void dn_sample_points(const float* vertices, int64_t nv, const int32_t* faces,
                       int64_t nf, int64_t n, uint64_t seed, float* out) {
   (void)nv;
+  if (nf <= 0 || n <= 0) {  // no faces: nothing to sample (caller guards)
+    if (n > 0) memset(out, 0, (size_t)n * 3 * sizeof(float));
+    return;
+  }
   std::vector<double> cdf(nf);
   double total = 0.0;
   for (int64_t i = 0; i < nf; i++) {
@@ -420,9 +436,13 @@ int dn_decode_png(const uint8_t* data, int64_t len, uint8_t** out,
   std::vector<uint8_t> idat;
   while (pos + 8 <= len) {
     uint32_t clen = be32(&data[pos]);
+    // chunk body + crc must fit the buffer (truncated/corrupt PNGs must
+    // fail cleanly, not read out of bounds)
+    if ((int64_t)clen > len - 12 - pos) return -2;
     const char* tag = (const char*)&data[pos + 4];
     const uint8_t* body = &data[pos + 8];
     if (memcmp(tag, "IHDR", 4) == 0) {
+      if (clen < 13) return -2;
       w = be32(body);
       h = be32(body + 4);
       depth = body[8];

@@ -73,6 +73,42 @@ def test_bop_convert_roundtrip(tmp_path):
     assert k[0, 0] == 300.0 and k[1, 2] == 48.0
 
 
+def test_sniff_not_fooled_by_vertex_indices(tmp_path):
+    """A PLY with a stale TextureFile comment but NO per-vertex UVs must
+    not be classified textured ('property list uchar int vertex_indices'
+    used to match the UV suffix check)."""
+    from deepim_tpu.raster.mesh import _sniff_texture
+
+    tex = np.zeros((4, 4, 3), np.uint8)
+    Image.fromarray(tex).save(tmp_path / "tex.png")
+    p = str(tmp_path / "nouv.ply")
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\ncomment TextureFile tex.png\n")
+        f.write("element vertex 3\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("element face 1\n"
+                "property list uchar int vertex_indices\nend_header\n")
+        f.write("0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    assert _sniff_texture(p) is None
+    m = load_ply(p)  # takes the fast native path, no texture
+    assert m.texture is None and m.num_faces == 1
+
+
+def test_decimate_preserves_texture_and_uv():
+    from deepim_tpu.raster.mesh import Mesh, decimate_mesh, icosphere_mesh
+
+    m = icosphere_mesh(0.05, subdivisions=3)  # 1280 faces
+    uv = np.random.RandomState(0).rand(m.num_vertices, 2).astype(np.float32)
+    tex = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
+    mt = Mesh(m.vertices, m.faces, m.colors, m.normals, uv=uv, texture=tex)
+    md = decimate_mesh(mt, max_faces=300)
+    assert md.num_faces <= 300
+    assert md.texture is not None  # texture survives decimation
+    assert md.uv is not None and md.uv.shape == (md.num_vertices, 2)
+    assert np.isfinite(md.uv).all()
+    assert (md.uv >= 0).all() and (md.uv <= 1).all()  # cluster means
+
+
 def test_textured_ply_baking(tmp_path):
     tex = np.zeros((8, 8, 3), np.uint8)
     tex[:, :4] = [255, 0, 0]

@@ -63,6 +63,70 @@ def test_binary_ply(tmp_path):
     np.testing.assert_array_equal(nf, mesh.faces)
 
 
+def test_binary_ply_second_list_property_skipped(tmp_path):
+    """YCB-style per-face 'property list uchar float texcoord' after the
+    vertex_indices list must be SKIPPED, not fan-triangulated as faces."""
+    mesh = box_mesh()
+    path = str(tmp_path / "tc.ply")
+    v = mesh.vertices.astype("<f4")
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(v)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(mesh.faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"property list uchar float texcoord\nend_header\n")
+        for vi in v:
+            f.write(vi.tobytes())
+        for face in mesh.faces:
+            f.write(bytes([3]) + face.astype("<i4").tobytes())
+            f.write(bytes([6]) + np.zeros(6, "<f4").tobytes())
+    out = native.load_ply(path)
+    assert out is not None
+    nv, _, nf = out
+    assert nf.shape == mesh.faces.shape  # no bogus texcoord triangles
+    np.testing.assert_array_equal(nf, mesh.faces)
+
+
+def test_truncated_binary_ply_fails_cleanly(tmp_path):
+    full = str(tmp_path / "full.ply")
+    mesh = box_mesh()
+    v = mesh.vertices.astype("<f4")
+    with open(full, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(v)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(mesh.faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        for vi in v:
+            f.write(vi.tobytes())
+        for face in mesh.faces:
+            f.write(bytes([3]) + face.astype("<i4").tobytes())
+    data = open(full, "rb").read()
+    trunc = str(tmp_path / "trunc.ply")
+    with open(trunc, "wb") as f:
+        f.write(data[: len(data) - 7])  # cut mid-face
+    assert native.load_ply(trunc) is None  # error, not OOB read
+
+
+def test_truncated_png_returns_none():
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    ).save(buf, format="PNG")
+    data = buf.getvalue()
+    assert native.decode_png(data[: len(data) // 2]) is None
+    # declared chunk length pointing past the buffer
+    bad = bytearray(data)
+    bad[8:12] = (2 ** 30).to_bytes(4, "big")  # IHDR length -> huge
+    assert native.decode_png(bytes(bad)) is None
+
+
+def test_sample_points_empty_faces_guarded():
+    v = np.zeros((3, 3), np.float32)
+    assert native.sample_points(v, np.zeros((0, 3), np.int32), 8) is None
+
+
 @pytest.mark.parametrize("mode,arr", [
     ("RGB8", np.random.RandomState(0).randint(0, 255, (33, 47, 3), np.uint8)),
     ("L8", np.random.RandomState(1).randint(0, 255, (21, 17), np.uint8)),
