@@ -136,6 +136,11 @@ def main(argv=None):
     else:
         from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
 
+        if d.obj_ids and len(d.obj_ids) != len(d.objects):
+            raise SystemExit(
+                f"dataset.obj_ids ({len(d.obj_ids)} entries) must be "
+                f"parallel to dataset.objects ({len(d.objects)}) — "
+                "failing now rather than after the refinement run")
         ds = LM6DDataset(d.root, list(d.objects))
         records = []
         for obj in d.objects:
@@ -249,6 +254,7 @@ def main(argv=None):
     dt = time.time() - t0
     print(f"refined {n} hypotheses x {cfg.test.test_iter} iters "
           f"in {dt:.2f}s ({n / dt:.1f} poses/s, incl. compile)")
+    n_refined = n  # rows actually refined (incl. padding) — for time_s
 
     if num_real < n:
         # Batch padding repeats the last record (make_eval_arrays pad_to);
@@ -326,6 +332,10 @@ def main(argv=None):
 
         if d.obj_ids:
             oid_map = np.asarray(list(d.obj_ids), np.int64)
+            if int(cls_np.max(initial=0)) >= len(oid_map):
+                raise SystemExit(
+                    f"dataset.obj_ids has {len(oid_map)} entries but "
+                    f"{len(d.objects)} objects are configured")
             obj_col = oid_map[cls_np]
         else:
             obj_col = cls_np + 1
@@ -338,10 +348,15 @@ def main(argv=None):
                     return None
             scene_ids = _ints([r.scene for r in records])
             im_ids = _ints([r.frame for r in records])
+            if scene_ids is None or im_ids is None:
+                # fall back JOINTLY — real scene ids paired with
+                # fabricated arange im ids would score against the wrong
+                # existing ground truths in the BOP toolkit
+                scene_ids = im_ids = None
         csv_path = os.path.join(out_dir, "bop_results.csv")
         write_bop_csv(csv_path, traj_np[-1], obj_col,
                       scene_ids=scene_ids, im_ids=im_ids,
-                      time_s=float(dt) / max(n, 1))
+                      time_s=float(dt) / max(n_refined, 1))
         print(f"wrote BOP results CSV to {csv_path}")
     return 0
 

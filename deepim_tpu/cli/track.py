@@ -93,13 +93,26 @@ def main(argv=None):
             else:
                 print(f"WARNING: seq {seq} has no depth stream; "
                       "input_depth model falls back to rendered depth")
+        obs_masks = None
+        if cfg.network.input_mask:
+            # same train/test contract for the observed-mask channel:
+            # per-object masks from the recorded label stream (pixel =
+            # 1 + object slot in this sequence), or warn on fallback.
+            if data["labels"] is not None:
+                lab = jnp.asarray(data["labels"])  # (T, H, W)
+                slots = jnp.arange(1, cls.shape[0] + 1)
+                obs_masks = (lab[:, None] ==
+                             slots[None, :, None, None]).astype(jnp.float32)
+            else:
+                print(f"WARNING: seq {seq} has no label stream; "
+                      "input_mask model falls back to rendered masks")
         traj = refine_video(
             state.params, model, assets, frames, init, ks, cls,
             iters_first=args.iters_first, iters_rest=args.iters_rest,
             out_size=out_size,
             renderer=cfg.test.renderer
             if jax.devices()[0].platform == "tpu" else "xla",
-            obs_depths=obs_depths,
+            obs_depths=obs_depths, obs_masks=obs_masks,
         )
         t_frames, m = traj.shape[0], traj.shape[1]
         all_est.append(np.asarray(traj).reshape(t_frames * m, 3, 4))

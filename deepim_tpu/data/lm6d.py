@@ -299,12 +299,24 @@ def apply_bop_init(records: list[FrameRecord], init: np.ndarray,
     """
     from deepim_tpu.eval.bop_results import read_bop_csv
 
+    if obj_ids is not None:
+        n_cls = max((r.class_idx for r in records), default=-1) + 1
+        if len(obj_ids) < n_cls:
+            raise ValueError(
+                f"dataset.obj_ids has {len(obj_ids)} entries but records "
+                f"reference {n_cls} classes — the id map must cover every "
+                "object in dataset.objects")
     bop = read_bop_csv(csv_path)
-    lut = {
-        (int(s), int(im), int(o)): p
-        for s, im, o, p in zip(bop["scene_ids"], bop["im_ids"],
-                               bop["obj_ids"], bop["poses"])
-    }
+    # BOP permits several scored estimates per (scene, im, obj) target
+    # (multi-hypothesis methods); keep the highest-scored one.
+    lut: dict = {}
+    best_score: dict = {}
+    for s, im, o, sc, p in zip(bop["scene_ids"], bop["im_ids"],
+                               bop["obj_ids"], bop["scores"], bop["poses"]):
+        key = (int(s), int(im), int(o))
+        if key not in lut or sc > best_score[key]:
+            lut[key] = p
+            best_score[key] = sc
     matched = 0
     for i, rec in enumerate(records):
         oid = (obj_ids[rec.class_idx] if obj_ids

@@ -67,7 +67,7 @@ class VideoDataset:
         poses (T, M, 3, 4), class_idx (M,)."""
         objs = self.objects_in(seq)
         fids = self.frame_ids(seq)
-        frames, depths, poses = [], [], []
+        frames, depths, labels, poses = [], [], [], []
         for fid in fids:
             rgb = LM6DDataset._read_image(
                 self._vid(seq, fid, "color.png")
@@ -77,6 +77,9 @@ class VideoDataset:
             if os.path.exists(dpath):
                 depths.append(LM6DDataset._read_image(dpath)
                               .astype(np.float32) / DEPTH_FACTOR)
+            lpath = self._vid(seq, fid, "label.png")
+            if os.path.exists(lpath):
+                labels.append(LM6DDataset._read_image(lpath))
             per_obj = [
                 np.loadtxt(self._vid(seq, fid, f"pose_{o}.txt"),
                            dtype=np.float32).reshape(3, 4)
@@ -86,6 +89,11 @@ class VideoDataset:
         return {
             "frames": np.stack(frames),
             "depths": (np.stack(depths) if len(depths) == len(fids)
+                       else None),
+            # label convention: pixel value = 1 + position in this
+            # sequence's object list (0 = background), the per-sequence
+            # analog of LM6d's class_idx+1 labels
+            "labels": (np.stack(labels) if len(labels) == len(fids)
                        else None),
             "poses": np.stack(poses),
             "class_idx": np.asarray(
@@ -98,7 +106,8 @@ class VideoDataset:
 
     def write_sequence(self, seq: str, frame_ids: list[str], objs: list[str],
                        rgbs: np.ndarray, depths: np.ndarray,
-                       poses: np.ndarray, init_poses: np.ndarray) -> None:
+                       poses: np.ndarray, init_poses: np.ndarray,
+                       labels: np.ndarray | None = None) -> None:
         from PIL import Image
 
         d = os.path.join(self.root, "data", "video", seq)
@@ -112,6 +121,9 @@ class VideoDataset:
             Image.fromarray(
                 (depths[t] * DEPTH_FACTOR).astype(np.uint16)
             ).save(self._vid(seq, fid, "depth.png"))
+            if labels is not None:
+                Image.fromarray(labels[t].astype(np.uint8)).save(
+                    self._vid(seq, fid, "label.png"))
             for m, o in enumerate(objs):
                 np.savetxt(self._vid(seq, fid, f"pose_{o}.txt"),
                            poses[t, m])

@@ -484,6 +484,31 @@ def test_apply_bop_init_obj_ids_mapping(disk_ds, tmp_path):
     assert apply_bop_init(records, got, path, obj_ids=obj_ids) == 2
     np.testing.assert_allclose(got, ext, atol=1e-6)
 
+    # an id map shorter than the class set fails fast, not IndexError
+    with pytest.raises(ValueError, match="obj_ids"):
+        apply_bop_init(records, init.copy(), path, obj_ids=[])
+
+
+def test_apply_bop_init_keeps_best_scored_duplicate(disk_ds, tmp_path):
+    """BOP CSVs may carry several scored estimates per (scene, im, obj);
+    the max-score row must win, not whichever is listed last."""
+    from deepim_tpu.data.lm6d import apply_bop_init
+    from deepim_tpu.eval import write_bop_csv
+
+    ds = LM6DDataset(disk_ds.root, ["box"])
+    rec = ds.gt_roidb("box", "test")[0]
+    good, bad = _pose(0.5, 0.9), _pose(-0.9, 0.4)
+    path = str(tmp_path / "dup.csv")
+    # good (score .9) listed FIRST, bad (score .1) last
+    write_bop_csv(path, np.stack([good, bad]),
+                  obj_ids=np.array([1, 1]),
+                  scene_ids=np.array([int(rec.scene)] * 2),
+                  im_ids=np.array([int(rec.frame)] * 2),
+                  scores=np.array([0.9, 0.1]))
+    init = rec.pose[None].astype(np.float32).copy()
+    assert apply_bop_init([rec], init, path) == 1
+    np.testing.assert_allclose(init[0], good, atol=1e-6)
+
 
 def test_bop_results_csv_roundtrip(tmp_path):
     """BOP results CSV: write meters-frame poses, read back exactly

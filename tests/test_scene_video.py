@@ -217,6 +217,29 @@ def test_video_dataset_roundtrip(tmp_path):
     assert (step < 0.1).all()
     inits = ds.init_poses("0000")
     assert inits.shape == (2, 3, 4)
+    # generated sequences carry depth but no labels
+    assert data["depths"].shape == (4, H, W)
+    assert data["labels"] is None
+
+
+def test_video_label_stream_roundtrip(tmp_path):
+    """Sequences written with a label stream load it back; pixel value =
+    1 + object slot (the convention cli/track derives obs masks from)."""
+    from deepim_tpu.data.video import VideoDataset
+
+    ds = VideoDataset(str(tmp_path / "v"), ["box", "icosphere"])
+    T = 2
+    rgbs = np.zeros((T, H, W, 3), np.float32)
+    depths = np.zeros((T, H, W), np.float32)
+    labels = np.zeros((T, H, W), np.uint8)
+    labels[:, :10, :10] = 1  # object slot 0
+    labels[:, 20:30, 20:30] = 2  # object slot 1
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (T, 2, 1, 1))
+    ds.write_sequence("0000", [f"{t:06d}" for t in range(T)],
+                      ["box", "icosphere"], rgbs, depths, poses,
+                      poses[0], labels=labels)
+    data = ds.load_sequence("0000")
+    np.testing.assert_array_equal(data["labels"], labels)
 
 
 @pytest.mark.slow
