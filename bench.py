@@ -31,9 +31,52 @@ COARSE_ITERS = int(os.environ.get("BENCH_COARSE", "2"))
 # back-to-back (async dispatch overlaps host work with device compute —
 # the production serving pattern).  0 = serial median-of-5 latency timing.
 PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE", "0"))
+# Wait up to this long for the device to answer before benchmarking: the
+# experimental axon TPU tunnel goes down for tens of minutes at a time
+# (server-side), and a bench launched into a dead backend would record
+# nothing for the whole round.  Probes run in a subprocess so a wedged
+# backend times out without poisoning this process.  BENCH_WAIT_SEC=0
+# skips the gate.
+WAIT_FOR_DEVICE_SEC = int(os.environ.get("BENCH_WAIT_SEC", "1800"))
+
+
+def _wait_for_device(budget_sec: int) -> None:
+    """Block (bounded) until a fresh subprocess completes a device matmul."""
+    import subprocess
+
+    probe = (
+        "import os, jax;"
+        "_p = os.environ.get('JAX_PLATFORMS');"
+        "_p and jax.config.update('jax_platforms', _p.split(',')[0]);"
+        "import jax.numpy as jnp;"
+        "x = jnp.ones((8, 128)) * 2;"
+        "assert float((x @ x.T)[0, 0]) == 512.0"
+    )
+    deadline = time.time() + budget_sec
+    attempt = 0
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-u", "-c", probe], timeout=240,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        attempt += 1
+        if time.time() >= deadline:
+            print(f"bench: device probe still failing after {attempt} tries;"
+                  " proceeding anyway", file=sys.stderr)
+            return
+        print(f"bench: device probe #{attempt} failed; retrying in 60s",
+              file=sys.stderr)
+        time.sleep(60)
 
 
 def main() -> int:
+    if WAIT_FOR_DEVICE_SEC:
+        _wait_for_device(WAIT_FOR_DEVICE_SEC)
     import jax
     import jax.numpy as jnp
 
