@@ -89,6 +89,14 @@ def main(argv=None):
     obs_depth = obs_mask = None  # input_depth/input_mask extra channels
     batches = None  # synthetic branches fill this; lm6d builds arrays
     records = None  # lm6d test records (scene/frame ids for BOP export)
+    if d.obj_ids and len(d.obj_ids) != len(d.objects):
+        # checked before ANY batch generation: --save-poses maps class
+        # indices through obj_ids after the refinement run, and failing
+        # there would waste the whole run (synthetic configs included)
+        raise SystemExit(
+            f"dataset.obj_ids ({len(d.obj_ids)} entries) must be "
+            f"parallel to dataset.objects ({len(d.objects)}) — "
+            "failing now rather than after the refinement run")
     if args.init_poses and (d.name.startswith("synthetic")
                             or d.name == "modelnet"):
         raise SystemExit("--init-poses requires an on-disk dataset; got "
@@ -136,11 +144,6 @@ def main(argv=None):
     else:
         from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
 
-        if d.obj_ids and len(d.obj_ids) != len(d.objects):
-            raise SystemExit(
-                f"dataset.obj_ids ({len(d.obj_ids)} entries) must be "
-                f"parallel to dataset.objects ({len(d.objects)}) — "
-                "failing now rather than after the refinement run")
         ds = LM6DDataset(d.root, list(d.objects))
         records = []
         for obj in d.objects:
@@ -333,9 +336,13 @@ def main(argv=None):
         if d.obj_ids:
             oid_map = np.asarray(list(d.obj_ids), np.int64)
             if int(cls_np.max(initial=0)) >= len(oid_map):
+                # reachable on modelnet, where class indices come from
+                # the zoo, not dataset.objects
                 raise SystemExit(
-                    f"dataset.obj_ids has {len(oid_map)} entries but "
-                    f"{len(d.objects)} objects are configured")
+                    f"class index {int(cls_np.max(initial=0))} is out of "
+                    f"range for dataset.obj_ids ({len(oid_map)} entries) "
+                    "— the id map must cover every class the refinement "
+                    "ran on (zoo classes included)")
             obj_col = oid_map[cls_np]
         else:
             obj_col = cls_np + 1
@@ -353,6 +360,13 @@ def main(argv=None):
                 # fabricated arange im ids would score against the wrong
                 # existing ground truths in the BOP toolkit
                 scene_ids = im_ids = None
+                print("WARNING: scene/frame names are not numeric; the "
+                      "BOP CSV gets placeholder scene_id=0 / im_id=row "
+                      "ids, which the BOP toolkit cannot match against "
+                      "real ground truth")
+        else:
+            print("WARNING: generated data has no scene/frame ids; the "
+                  "BOP CSV gets placeholder scene_id=0 / im_id=row ids")
         csv_path = os.path.join(out_dir, "bop_results.csv")
         write_bop_csv(csv_path, traj_np[-1], obj_col,
                       scene_ids=scene_ids, im_ids=im_ids,

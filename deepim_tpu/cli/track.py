@@ -24,6 +24,13 @@ def parse_args(argv=None):
     p.add_argument("--objects-per-seq", type=int, default=1,
                    help="objects per generated sequence (1 = LM6d-style "
                         "single-object tracking; 0 = all, YCB-style)")
+    p.add_argument("--label-ids", choices=("slot", "global"),
+                   default="slot",
+                   help="label.png pixel convention: 'slot' = 1 + object "
+                        "position in the sequence's object list (what "
+                        "gen_video writes); 'global' = dataset-wide object "
+                        "id (dataset.obj_ids when configured, else "
+                        "class_idx + 1 — real YCB-Video-style labels)")
     return p.parse_args(argv)
 
 
@@ -75,7 +82,9 @@ def main(argv=None):
 
     all_est, all_gt, all_cls = [], [], []
     for seq in ds.sequences():
-        data = ds.load_sequence(seq)
+        data = ds.load_sequence(seq,
+                                with_depths=cfg.network.input_depth,
+                                with_labels=cfg.network.input_mask)
         frames = jnp.asarray(data["frames"])[:, None].repeat(
             len(data["class_idx"]), axis=1
         )  # (T, M, H, W, 3): every tracked object sees the full frame
@@ -96,13 +105,25 @@ def main(argv=None):
         obs_masks = None
         if cfg.network.input_mask:
             # same train/test contract for the observed-mask channel:
-            # per-object masks from the recorded label stream (pixel =
-            # 1 + object slot in this sequence), or warn on fallback.
+            # per-object masks from the recorded label stream (pixel ids
+            # per --label-ids), or warn on fallback.
             if data["labels"] is not None:
                 lab = jnp.asarray(data["labels"])  # (T, H, W)
-                slots = jnp.arange(1, cls.shape[0] + 1)
+                if args.label_ids == "global":
+                    cls_np = np.asarray(cls)
+                    ids = jnp.asarray(
+                        np.asarray(list(d.obj_ids), np.int64)[cls_np]
+                        if d.obj_ids else cls_np + 1)
+                else:
+                    ids = jnp.arange(1, cls.shape[0] + 1)
                 obs_masks = (lab[:, None] ==
-                             slots[None, :, None, None]).astype(jnp.float32)
+                             ids[None, :, None, None]).astype(jnp.float32)
+                if not bool(obs_masks.any()):
+                    print(f"WARNING: seq {seq}: label stream matched no "
+                          f"pixels under the '{args.label_ids}' id "
+                          "convention — check --label-ids (slot vs "
+                          "global); the model is tracking with all-empty "
+                          "observed masks")
             else:
                 print(f"WARNING: seq {seq} has no label stream; "
                       "input_mask model falls back to rendered masks")

@@ -309,14 +309,12 @@ def apply_bop_init(records: list[FrameRecord], init: np.ndarray,
     bop = read_bop_csv(csv_path)
     # BOP permits several scored estimates per (scene, im, obj) target
     # (multi-hypothesis methods); keep the highest-scored one.
-    lut: dict = {}
-    best_score: dict = {}
+    best: dict = {}  # key -> (score, pose)
     for s, im, o, sc, p in zip(bop["scene_ids"], bop["im_ids"],
                                bop["obj_ids"], bop["scores"], bop["poses"]):
         key = (int(s), int(im), int(o))
-        if key not in lut or sc > best_score[key]:
-            lut[key] = p
-            best_score[key] = sc
+        if key not in best or sc > best[key][0]:
+            best[key] = (sc, p)
     matched = 0
     for i, rec in enumerate(records):
         oid = (obj_ids[rec.class_idx] if obj_ids
@@ -325,9 +323,9 @@ def apply_bop_init(records: list[FrameRecord], init: np.ndarray,
             key = (int(rec.scene), int(rec.frame), int(oid))
         except ValueError:
             continue
-        pose = lut.get(key)
-        if pose is not None:
-            init[i] = pose
+        hit = best.get(key)
+        if hit is not None:
+            init[i] = hit[1]
             matched += 1
     return matched
 

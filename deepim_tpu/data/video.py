@@ -62,9 +62,15 @@ class VideoDataset:
             return None
         return np.loadtxt(path, dtype=np.float32).reshape(-1, 3, 4)
 
-    def load_sequence(self, seq: str) -> dict:
+    def load_sequence(self, seq: str, with_depths: bool = True,
+                      with_labels: bool = True) -> dict:
         """-> frames (T, H, W, 3) f32, depths (T, H, W) metric (or None),
-        poses (T, M, 3, 4), class_idx (M,)."""
+        poses (T, M, 3, 4), class_idx (M,).
+
+        ``with_depths``/``with_labels`` skip decoding those streams (the
+        caller doesn't need them — e.g. tracking with a model that takes
+        neither depth nor mask inputs); a skipped stream loads as None.
+        """
         objs = self.objects_in(seq)
         fids = self.frame_ids(seq)
         frames, depths, labels, poses = [], [], [], []
@@ -74,11 +80,11 @@ class VideoDataset:
             ).astype(np.float32) / 255.0
             frames.append(rgb)
             dpath = self._vid(seq, fid, "depth.png")
-            if os.path.exists(dpath):
+            if with_depths and os.path.exists(dpath):
                 depths.append(LM6DDataset._read_image(dpath)
                               .astype(np.float32) / DEPTH_FACTOR)
             lpath = self._vid(seq, fid, "label.png")
-            if os.path.exists(lpath):
+            if with_labels and os.path.exists(lpath):
                 labels.append(LM6DDataset._read_image(lpath))
             per_obj = [
                 np.loadtxt(self._vid(seq, fid, f"pose_{o}.txt"),
@@ -200,16 +206,17 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
 
             cls = jnp.asarray(members, jnp.int32)
             light = random_lighting(kl)
-            rgbs, depths = [], []
+            rgbs, depths, labels = [], [], []
             for t in range(num_frames):
-                rgb, dep = _render_frame(assets, cls, poses[t], kj,
-                                         image_size, renderer, light)
+                rgb, dep, lab = _render_frame(assets, cls, poses[t], kj,
+                                              image_size, renderer, light)
                 bg = jax.random.uniform(
                     jax.random.fold_in(kb, t), rgb.shape
                 )
                 rgb = jnp.where((dep > 0)[..., None], rgb, bg)
                 rgbs.append(rgb)
                 depths.append(dep)
+                labels.append(lab)
             inits = perturb_poses(kn, poses[0], rot_std_deg=10.0,
                                   rot_max_deg=30.0,
                                   trans_std=(0.01, 0.01, 0.03),
@@ -219,6 +226,7 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
                 objs, np.asarray(jnp.stack(rgbs)),
                 np.asarray(jnp.stack(depths)), np.asarray(poses),
                 np.asarray(inits),
+                labels=np.asarray(jnp.stack(labels)),
             )
             seq_id += 1
     return ds
@@ -253,10 +261,26 @@ def _render_frame(assets, cls, poses, k, image_size, renderer,
         rgb = jnp.take_along_axis(
             rgbs, best[None, ..., None].astype(jnp.int32), axis=0
         )[0]
-        return jnp.where(hit[..., None], rgb, 0.0), depth
+        # label convention: pixel = 1 + object slot in the sequence's
+        # object list (what load_sequence documents and cli.track expects)
+        label = jnp.where(hit, best.astype(jnp.int32) + 1, 0)
+        return jnp.where(hit[..., None], rgb, 0.0), depth, label
     rgb, depth = render_scene(
         assets, cls[None], poses[None], jnp.ones((1, m), bool), ks1,
         image_size, lighting=lighting,
         interpret=renderer == "pallas_interpret",
     )
-    return rgb[0], depth[0]
+    # The shared-z-buffer scene raster doesn't expose the per-pixel
+    # winner, so recover the label from per-object depth renders (same
+    # z-test as the merge; gen_video is an offline toolkit, the extra
+    # renders are fine).
+    deps = jnp.stack([
+        render_crops(gather_class(assets, cls[j : j + 1]),
+                     poses[j : j + 1], ks1, image_size, renderer,
+                     lighting=lighting)[1][0]
+        for j in range(m)
+    ])
+    big = jnp.where(deps > 0, deps, jnp.inf)
+    hit = jnp.any(deps > 0, axis=0)
+    label = jnp.where(hit, jnp.argmin(big, axis=0).astype(jnp.int32) + 1, 0)
+    return rgb[0], depth[0], label

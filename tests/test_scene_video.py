@@ -217,9 +217,15 @@ def test_video_dataset_roundtrip(tmp_path):
     assert (step < 0.1).all()
     inits = ds.init_poses("0000")
     assert inits.shape == (2, 3, 4)
-    # generated sequences carry depth but no labels
+    # generated sequences carry depth AND a slot-convention label stream
     assert data["depths"].shape == (4, H, W)
-    assert data["labels"] is None
+    assert data["labels"].shape == (4, H, W)
+    assert set(np.unique(data["labels"])) <= {0, 1, 2}
+    # label pixels are exactly the rendered (depth-hit) pixels
+    np.testing.assert_array_equal(data["labels"] > 0, data["depths"] > 0)
+    # lazy loading: skipped streams come back None
+    lazy = ds.load_sequence("0000", with_depths=False, with_labels=False)
+    assert lazy["depths"] is None and lazy["labels"] is None
 
 
 def test_video_label_stream_roundtrip(tmp_path):
