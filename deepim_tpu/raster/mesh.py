@@ -51,13 +51,32 @@ class Mesh:
 
     @property
     def diameter(self) -> float:
-        """Max pairwise extent approximation: diagonal of the AABB is an
-        upper bound; for metric thresholds (0.1d) we use the true max
-        pairwise distance over a subsample."""
+        """Exact max pairwise vertex distance (the reference's
+        models_info diameter, which sets the ADD 0.1d thresholds).
+
+        The two extreme points lie on the convex hull, so big scanned
+        meshes reduce to the hull's vertices first (typically a few
+        hundred points for 100k-vertex scans); a random subsample — a
+        strict underestimate that would bias reported accuracy low — is
+        only the last-ditch fallback if the hull fails (degenerate/flat
+        geometry)."""
         v = self.vertices
         if v.shape[0] > 1000:
-            idx = np.random.RandomState(0).choice(v.shape[0], 1000, replace=False)
-            v = v[idx]
+            try:
+                from scipy.spatial import ConvexHull
+
+                v = v[ConvexHull(v).vertices]
+            except Exception:
+                idx = np.random.RandomState(0).choice(
+                    v.shape[0], 1000, replace=False)
+                v = v[idx]
+        if v.shape[0] > 8192:  # pathological hull: chunk the pairwise max
+            best = 0.0
+            for i0 in range(0, v.shape[0], 2048):
+                d2 = np.sum(
+                    (v[i0:i0 + 2048, None, :] - v[None, :, :]) ** 2, -1)
+                best = max(best, float(d2.max()))
+            return float(np.sqrt(best))
         d2 = np.sum((v[:, None, :] - v[None, :, :]) ** 2, axis=-1)
         return float(np.sqrt(d2.max()))
 
@@ -887,7 +906,8 @@ def decimate_mesh(mesh: Mesh, max_faces: int, seed: int = 0) -> Mesh:
         out = native.decimate(mesh.vertices, mesh.colors, mesh.faces,
                               max_faces)
         if out is not None:
-            return make_mesh(*out)
+            v, c, f = out  # native returns (vertices, colors, faces)
+            return make_mesh(v, f, c)
     lo, hi = 4, 512  # grid resolutions to search
     best = None
     vmin = mesh.vertices.min(0)

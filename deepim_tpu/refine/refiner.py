@@ -97,6 +97,7 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
     import numpy as np
 
     from deepim_tpu.geometry.symmetry import sym_set
+    from deepim_tpu.ops.zoom import model_corners
     from deepim_tpu.raster.mesh import pad_mesh, sample_points
 
     sym_transforms = sym_transforms or [None] * len(meshes)
@@ -108,8 +109,8 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
     padded = [pad_mesh(m, mv + 1, mf) for m in meshes]  # +1 pad vertex
     pts = [sample_points(m, num_points) for m in meshes]
     corners = [
-        np.stack(np.meshgrid(*zip(m.vertices.min(0), m.vertices.max(0)),
-                             indexing="ij"), -1).reshape(8, 3)
+        np.asarray(model_corners(m.vertices.min(0), m.vertices.max(0)),
+                   np.float32)
         for m in meshes
     ]
     return RenderAssets(
@@ -272,6 +273,13 @@ def render_scene(
     packed at its own pose, the per-object face-parameter lists are
     concatenated, and one raster pass z-tests everything — occlusion
     between objects falls out of the shared z-buffer.
+
+    Textured asset sets render per-pixel textures like ``render_crops``
+    (the observed scene and the rendered compare-crop must agree in
+    appearance): each slot's UVs are remapped into its class's band of
+    the vertically stacked ``(C*Th, Tw)`` texture, so one shared deferred
+    bilinear pass serves every object — the per-pixel z-winner lands in
+    the right band by construction.
     """
     from deepim_tpu.raster.raster_pallas import (
         _render_dispatch, pack_tri_params,
@@ -280,30 +288,137 @@ def render_scene(
     b, m = class_idx.shape
     flat_cls = class_idx.reshape(-1)
     tri_pos = jnp.take(assets.tri_pos, flat_cls, axis=0)  # (B*M, 9, F)
-    tri_col = jnp.take(assets.tri_col, flat_cls, axis=0)
     tri_nrm = jnp.take(assets.tri_nrm, flat_cls, axis=0)
-    pack = jax.vmap(
-        lambda tp, tc, tn, p, kk: pack_tri_params(
-            tp, tc, tn, p, kk, lighting, 0.01
+    poses_f = poses.reshape(-1, 3, 4)
+    ks_f = jnp.repeat(ks, m, axis=0)
+    if assets.textured:
+        from deepim_tpu.raster.textured import (
+            pack_tri_params_uv, sample_texture_bilinear,
         )
-    )
-    params, bbox, face_ok = pack(
-        tri_pos, tri_col, tri_nrm, poses.reshape(-1, 3, 4),
-        jnp.repeat(ks, m, axis=0),
-    )  # (B*M, F, 24), (B*M, F, 4), (B*M, F)
+
+        tex = assets.textures  # (C, Th, Tw, 3)
+        th = tex.shape[1]
+        h_all = tex.shape[0] * th
+        tidx = (jnp.take(assets.tex_idx, flat_cls, axis=0)
+                if assets.tex_idx is not None else flat_cls)
+        tri_uv = jnp.take(assets.tri_uv, flat_cls, axis=0)  # (B*M, 6, F)
+        # v' puts the sample row y = (1-v)*(Th-1) into band tidx of the
+        # stacked texture (sampler convention: y = (1-v')*(H_all-1)).
+        # Within-band taps stay in-band: at an integer band-edge y the +1
+        # bilinear tap has zero weight, so adjacent textures never bleed.
+        y_band = (tidx.astype(jnp.float32)[:, None, None] * th
+                  + (1.0 - tri_uv[:, 1::2, :]) * (th - 1))
+        tri_uv = tri_uv.at[:, 1::2, :].set(
+            1.0 - y_band / max(h_all - 1, 1))
+        pack = jax.vmap(
+            lambda tp, tu, tn, p, kk: pack_tri_params_uv(
+                tp, tu, tn, p, kk, lighting, 0.01
+            )
+        )
+        params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses_f,
+                                     ks_f)
+    else:
+        tri_col = jnp.take(assets.tri_col, flat_cls, axis=0)
+        pack = jax.vmap(
+            lambda tp, tc, tn, p, kk: pack_tri_params(
+                tp, tc, tn, p, kk, lighting, 0.01
+            )
+        )
+        params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses_f,
+                                     ks_f)
+    # (B*M, F, 24), (B*M, F, 4), (B*M, F)
     face_ok = face_ok & valid.reshape(-1)[:, None]
     f = params.shape[1]
     params = params.reshape(b, m * f, 24)
     bbox = bbox.reshape(b, m * f, 4)
     face_ok = face_ok.reshape(b, m * f)
-    return _render_dispatch(params, bbox, face_ok, out_size, (32, 256),
-                            max_faces_per_tile, interpret, "auto")
+    out, depth = _render_dispatch(params, bbox, face_ok, out_size,
+                                  (32, 256), max_faces_per_tile, interpret,
+                                  "auto")
+    if assets.textured:
+        albedo = sample_texture_bilinear(
+            assets.textures.reshape(h_all, tex.shape[2], 3),
+            out[..., 0], out[..., 1])
+        # background: interpolated intensity is 0 there, so rgb stays 0
+        out = jnp.clip(albedo * out[..., 2:3], 0.0, 1.0)
+    return out, depth
 
 
 class RefineStepOutputs(NamedTuple):
     pose: jax.Array  # (B, 3, 4) updated pose
     k_zoom: jax.Array  # (B, 3, 3) crop intrinsics used this step
     aux: dict[str, Any]  # net outputs (flow/mask) when requested
+
+
+class NetworkInputs(NamedTuple):
+    x: jax.Array  # (B, H, W, 6+) assembled CNN input
+    box: Any  # ZoomBox with (B,)-shaped fields
+    k_zoom: jax.Array  # (B, 3, 3) crop intrinsics
+    ren_rgb: jax.Array  # (B, H, W, 3) rendered crop
+    ren_depth: jax.Array  # (B, H, W) rendered depth crop
+
+
+def build_network_inputs(
+    model,
+    assets_b: RenderAssets,
+    obs_rgb: jax.Array,  # (B, H, W, 3) full-frame observed image [0,1]
+    pose: jax.Array,  # (B, 3, 4) current estimates
+    k: jax.Array,  # (B, 3, 3) full-frame intrinsics
+    out_size: tuple[int, int],
+    renderer: str = "pallas",
+    zoom_margin: float = 1.4,
+    obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
+    obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
+) -> NetworkInputs:
+    """Render→zoom→concat assembly of the CNN input, shared train/eval.
+
+    ``train.compute_losses`` and :func:`refine_step` must feed the
+    network IDENTICALLY — the input distribution the net trains on is
+    the one it refines with — so both call this one helper.  A missing
+    observed mask/depth falls back to the rendered silhouette/depth (the
+    best available estimate; the reference feeds PoseCNN segmentations
+    and recorded depth where we may have neither at test time).
+    """
+    with jax.named_scope("zoom_box"):
+        box = jax.vmap(
+            lambda p, kk, c: compute_zoom_box(p, kk, c, out_size, zoom_margin)
+        )(pose, k, assets_b.corners)
+        k_zoom = zoom_intrinsics(k, box)
+
+    with jax.named_scope("render"):
+        ren_rgb, ren_depth = render_crops(assets_b, pose, k_zoom, out_size,
+                                          renderer)
+    with jax.named_scope("zoom_obs"):
+        obs_crop = zoom_image_batch(
+            obs_rgb, box, out_size,
+            precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
+        )
+
+    extras = ()
+    if getattr(model, "input_mask", False):
+        # Reference 8-channel mode (observed + rendered masks appended).
+        ren_mask = (ren_depth > 0).astype(jnp.float32)[..., None]
+        if obs_mask is not None:
+            obs_mask_in = zoom_image_batch(
+                obs_mask[..., None].astype(jnp.float32), box, out_size,
+                method="nearest",
+            )
+        else:
+            obs_mask_in = ren_mask
+        extras = (ren_mask, obs_mask_in)
+    if getattr(model, "input_depth", False):
+        # Reference INPUT_DEPTH mode (depth crops normalized by object z).
+        z_src = pose[:, 2, 3]
+        if obs_depth is not None:
+            obs_depth_in = zoom_image_batch(
+                obs_depth[..., None], box, out_size, method="nearest",
+            )[..., 0]
+        else:
+            obs_depth_in = ren_depth
+        extras = (*extras, normalize_depth(ren_depth, z_src),
+                  normalize_depth(obs_depth_in, z_src))
+    return NetworkInputs(network_input(obs_crop, ren_rgb, extras),
+                         box, k_zoom, ren_rgb, ren_depth)
 
 
 def refine_step(
@@ -322,50 +437,12 @@ def refine_step(
     obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
 ) -> RefineStepOutputs:
     """One render→zoom→CNN→compose update (all stages on-device)."""
-    with jax.named_scope("zoom_box"):
-        box = jax.vmap(
-            lambda p, kk, c: compute_zoom_box(p, kk, c, out_size, zoom_margin)
-        )(pose, k, assets_b.corners)
-        k_zoom = zoom_intrinsics(k, box)
-
-    with jax.named_scope("render"):
-        ren_rgb, ren_depth = render_crops(assets_b, pose, k_zoom, out_size,
-                                          renderer)
-    with jax.named_scope("zoom_obs"):
-        obs_crop = zoom_image_batch(
-            obs_rgb, box, out_size,
-            precision=jax.lax.Precision.DEFAULT,  # 8-bit-origin RGB
-        )
-
-    extras = ()
-    if getattr(model, "input_mask", False):
-        # Reference 8-channel mode.  The observed mask comes from the
-        # init-pose segmentation (PoseCNN in the reference) when given;
-        # otherwise fall back to the current rendered silhouette — the
-        # best available estimate of the object's observed extent.
-        ren_mask = (ren_depth > 0).astype(jnp.float32)[..., None]
-        if obs_mask is not None:
-            obs_mask_in = zoom_image_batch(
-                obs_mask[..., None].astype(jnp.float32), box, out_size,
-                method="nearest",
-            )
-        else:
-            obs_mask_in = ren_mask
-        extras = (ren_mask, obs_mask_in)
-    if getattr(model, "input_depth", False):
-        # Reference INPUT_DEPTH mode.  Without an observed depth frame the
-        # rendered depth doubles as the best available observed estimate.
-        z_src = pose[:, 2, 3]
-        if obs_depth is not None:
-            obs_depth_in = zoom_image_batch(
-                obs_depth[..., None], box, out_size, method="nearest",
-            )[..., 0]
-        else:
-            obs_depth_in = ren_depth
-        extras = (*extras, normalize_depth(ren_depth, z_src),
-                  normalize_depth(obs_depth_in, z_src))
+    ni = build_network_inputs(model, assets_b, obs_rgb, pose, k, out_size,
+                              renderer, zoom_margin, obs_mask=obs_mask,
+                              obs_depth=obs_depth)
+    k_zoom = ni.k_zoom
     with jax.named_scope("cnn"):
-        out = model.apply(variables, network_input(obs_crop, ren_rgb, extras))
+        out = model.apply(variables, ni.x)
     with jax.named_scope("compose"):
         quat = decode_rot(select_class(out["rot_raw"], class_idx),
                           model.rot_type)

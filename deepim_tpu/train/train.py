@@ -37,16 +37,14 @@ from deepim_tpu.models.flownet import (
     DeepIMFlowNet,
     bottleneck_grid,
     decode_rot,
-    network_input,
-    normalize_depth,
     select_class,
 )
 from deepim_tpu.ops.flow_gt import calc_flow
-from deepim_tpu.ops.zoom import (
-    compute_zoom_box, zoom_image_batch, zoom_intrinsics,
-)
+from deepim_tpu.ops.zoom import zoom_image_batch
 from deepim_tpu.parallel.mesh import DATA_AXIS
-from deepim_tpu.refine.refiner import RenderAssets, gather_class, render_crops
+from deepim_tpu.refine.refiner import (
+    RenderAssets, build_network_inputs, gather_class,
+)
 
 
 class TrainState(NamedTuple):
@@ -134,33 +132,16 @@ def compute_losses(
     total = 0.0
     metrics: dict[str, jax.Array] = {}
     for it in range(t.train_iter):
-        box = jax.vmap(
-            lambda p, kk, c: compute_zoom_box(p, kk, c, out_size)
-        )(pose_src, k, ab.corners)
-        kz = zoom_intrinsics(k, box)
-        ren_rgb, ren_depth = render_crops(ab, pose_src, kz, out_size,
-                                          t.renderer)
-        obs_crop = zoom_image_batch(batch["obs_rgb"], box, out_size, "bilinear",
-                               precision=jax.lax.Precision.DEFAULT)
-        extras = ()
-        if model.input_mask:
-            # Reference 8-channel mode: rendered mask + observed mask.
-            obs_mask_in = zoom_image_batch(
-                batch["obs_mask"][..., None].astype(jnp.float32), box,
-                out_size, "nearest",
-            )
-            extras = ((ren_depth > 0).astype(jnp.float32)[..., None],
-                      obs_mask_in)
-        if model.input_depth:
-            # Reference INPUT_DEPTH mode: rendered + observed depth crops,
-            # normalized by the source estimate's object z.
-            obs_depth_in = zoom_image_batch(
-                batch["obs_depth"][..., None], box, out_size, "nearest",
-            )[..., 0]
-            z_src = pose_src[:, 2, 3]
-            extras = (*extras, normalize_depth(ren_depth, z_src),
-                      normalize_depth(obs_depth_in, z_src))
-        out = model.apply(params, network_input(obs_crop, ren_rgb, extras))
+        # SHARED train/eval input assembly (refiner.build_network_inputs):
+        # the distribution the net trains on must be the one it refines
+        # with at test time, bit-identically.
+        ni = build_network_inputs(
+            model, ab, batch["obs_rgb"], pose_src, k, out_size,
+            t.renderer, obs_mask=batch["obs_mask"],
+            obs_depth=batch["obs_depth"],
+        )
+        box, kz, ren_depth = ni.box, ni.k_zoom, ni.ren_depth
+        out = model.apply(params, ni.x)
 
         quat = decode_rot(select_class(out["rot_raw"], batch["class_idx"]),
                           model.rot_type)

@@ -329,3 +329,61 @@ def test_cfg_texture_prob_builds_textured_assets():
     assert assets.textured
     assert assets.textures.shape[0] == 2
     assert names == ["box", "cylinder"]
+
+
+def test_render_scene_textured_matches_per_object_merge():
+    """Textured render_scene == per-object textured render_crops + z-merge:
+    the stacked-band UV remap must sample each slot's own texture, with
+    the nearer object winning occluded pixels."""
+    import jax
+
+    from deepim_tpu.refine import build_assets, gather_class
+    from deepim_tpu.refine.refiner import render_crops, render_scene
+
+    quad_near = _textured_quad(n=2)
+    tex_r = np.zeros((16, 24, 3), np.float32)
+    tex_r[..., 0] = 0.9  # red
+    quad_near = Mesh(quad_near.vertices, quad_near.faces, quad_near.colors,
+                     quad_near.normals, uv=quad_near.uv, texture=tex_r)
+    quad_far = _textured_quad(n=2)
+    tex_g = np.zeros((8, 8, 3), np.float32)  # different size: atlas pad
+    tex_g[..., 1] = 0.8  # green
+    quad_far = Mesh(quad_far.vertices, quad_far.faces, quad_far.colors,
+                    quad_far.normals, uv=quad_far.uv, texture=tex_g)
+    assets = build_assets([quad_near, quad_far], num_points=64)
+    assert assets.textured
+
+    cls = jnp.array([[0, 1]])
+    pose_near = POSE
+    pose_far = POSE.at[2, 3].set(0.8).at[0, 3].set(0.15)  # behind, offset
+    poses = jnp.stack([pose_near, pose_far])[None]  # (1, 2, 3, 4)
+    valid = jnp.ones((1, 2), bool)
+    ks = K[None]
+
+    rgb_s, dep_s = render_scene(assets, cls, poses, valid, ks, (H, W),
+                                interpret=True)
+
+    # per-object textured renders + z-merge
+    rgbs, deps = [], []
+    for j in range(2):
+        ab = gather_class(assets, cls[:, j])
+        r, d = render_crops(ab, poses[:, j], ks, (H, W),
+                            renderer="pallas_interpret")
+        rgbs.append(np.asarray(r[0]))
+        deps.append(np.asarray(d[0]))
+    deps_st = np.stack(deps)
+    big = np.where(deps_st > 0, deps_st, np.inf)
+    hit = (deps_st > 0).any(0)
+    want_dep = np.where(hit, big.min(0), 0.0)
+    best = big.argmin(0)
+    want_rgb = np.where(hit[..., None],
+                        np.take_along_axis(
+                            np.stack(rgbs), best[None, ..., None], 0)[0],
+                        0.0)
+
+    np.testing.assert_allclose(np.asarray(dep_s[0]), want_dep, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_s[0]), want_rgb, atol=1e-5)
+    # both textures actually appear (occluder red in front, green ring)
+    got = np.asarray(rgb_s[0])
+    assert (got[..., 0] > 0.5).sum() > 100  # red quad pixels
+    assert (got[..., 1] > 0.5).sum() > 50  # green quad pixels
