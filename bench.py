@@ -29,8 +29,12 @@ BATCH = 128
 COARSE_ITERS = int(os.environ.get("BENCH_COARSE", "2"))
 # BENCH_PIPELINE=R: measure sustained throughput with R batches enqueued
 # back-to-back (async dispatch overlaps host work with device compute —
-# the production serving pattern).  0 = serial median-of-5 latency timing.
-PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE", "0"))
+# the production serving pattern, and what `serve/` does).  Default ON:
+# the headline is a throughput metric, and over the experimental axon
+# tunnel the serial mode mostly measures tunnel round-trips (478 vs 640
+# poses/s measured back-to-back on the same chip).  BENCH_PIPELINE=0
+# restores serial median-of-5 latency timing.
+PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE", "8"))
 # Wait up to this long for the device to answer before benchmarking: the
 # experimental axon TPU tunnel goes down for tens of minutes at a time
 # (server-side), and a bench launched into a dead backend would record
