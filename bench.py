@@ -157,6 +157,18 @@ def main() -> int:
         "value": round(poses_per_sec, 2),
         "unit": "poses/s",
         "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),
+        # measurement-protocol fields: without them, serial vs pipelined
+        # runs (or different coarse schedules) would silently mix in the
+        # historical record
+        "batch": BATCH,
+        "coarse_iters": COARSE_ITERS,
+        "pipeline_reps": PIPELINE_REPS,
+        "timing": "pipelined_throughput" if PIPELINE_REPS else
+                  "serial_median_of_5",
+        # 12 poses/s is the DeepIM paper's recalled timing remark
+        # (GTX-1080-class GPU + OpenGL, K=2-4), not a measured rerun —
+        # see BASELINE.md for the confidence discussion
+        "baseline_source": "recalled_paper_figure_12_poses_per_sec",
     }))
     return 0
 

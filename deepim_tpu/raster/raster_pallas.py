@@ -624,6 +624,17 @@ def _render_chunk(params, bbox, face_ok, image_size, tile,
     f = params.shape[1]
     if binning == "auto":
         binning = "cols" if f >= _COLS_MIN_FACES else "sort"
+    if binning == "topk":
+        import warnings
+
+        warnings.warn(
+            "binning='topk' caps each tile at max_faces_per_tile faces and "
+            "SILENTLY DROPS the rest (visible holes on dense meshes); it is "
+            "kept only as a legacy comparison path — use 'auto', 'sort', or "
+            "'cols' (all lossless)",
+            RuntimeWarning,
+            stacklevel=4,
+        )
     if binning == "cols":
         # The column kernel bins on (8, 128) sub-tiles with its own tuned
         # spans/caps — the caller's `spans` (sort-path (32, 256) tile

@@ -9,7 +9,16 @@ just a larger raster/CNN batch, not N× host loops).
 
 Scoring: negative mean absolute RGB difference over the rendered
 foreground of the final pose's zoom crop — cheap, fully on-device, and
-robust to background clutter (only object pixels count).
+robust to background clutter (only object pixels count).  Two
+occlusion-robustness terms (the plain score penalizes the TRUE pose on
+occluded pixels, so a wrong-but-unoccluded hypothesis could win):
+
+- per-pixel truncation: a pixel's contribution is capped at ``trunc``,
+  so an occluder that hides part of the object costs a bounded amount
+  instead of dominating the mean;
+- depth visibility (when the observed depth is available): pixels where
+  the observed surface is significantly NEARER than the rendered object
+  are occluded-by-distractor and are excluded from the score entirely.
 """
 
 from __future__ import annotations
@@ -38,8 +47,18 @@ def score_poses(
     k: jax.Array,  # (N, 3, 3)
     out_size: tuple[int, int],
     renderer: str = "pallas",
+    obs_depth: jax.Array | None = None,  # (N, H, W) metric, 0 = missing
+    trunc: float = 0.25,
+    depth_margin: float = 0.02,
 ) -> jax.Array:
-    """Render-vs-observed agreement score per pose -> (N,) (higher=better)."""
+    """Render-vs-observed agreement score per pose -> (N,) (higher=better).
+
+    ``trunc`` caps each pixel's |RGB diff| contribution (occlusion
+    robustness); ``obs_depth`` additionally masks out pixels whose
+    observed surface is more than ``depth_margin`` nearer than the
+    rendered object (occluded by a distractor — those pixels say nothing
+    about pose agreement).
+    """
     box = jax.vmap(
         lambda p, kk, c: compute_zoom_box(p, kk, c, out_size)
     )(poses, k, assets_b.corners)
@@ -48,19 +67,35 @@ def score_poses(
     obs_crop = zoom_image_batch(obs_rgb, box, out_size,
                                 precision=jax.lax.Precision.DEFAULT)
     fg = (ren_depth > 0).astype(jnp.float32)
-    diff = jnp.mean(jnp.abs(obs_crop - ren_rgb), axis=-1) * fg
+    vis = fg
+    if obs_depth is not None:
+        obs_d = zoom_image_batch(obs_depth[..., None], box, out_size,
+                                 method="nearest")[..., 0]
+        occluded = (obs_d > 0) & (obs_d < ren_depth - depth_margin)
+        vis = fg * (1.0 - occluded.astype(jnp.float32))
+    diff = jnp.mean(jnp.abs(obs_crop - ren_rgb), axis=-1)
+    diff = jnp.minimum(diff, trunc) * vis
     fg_count = jnp.sum(fg, axis=(1, 2))
-    score = -jnp.sum(diff, axis=(1, 2)) / jnp.maximum(fg_count, 1.0)
-    # A pose that renders NO foreground (diverged past the near plane /
-    # out of frame) would otherwise score a perfect 0.0 and beat every
-    # valid hypothesis at the argmax; it must lose to any visible one.
+    vis_count = jnp.sum(vis, axis=(1, 2))
+    score = -jnp.sum(diff, axis=(1, 2)) / jnp.maximum(vis_count, 1.0)
+    # Two degenerate cases, deliberately distinct:
+    # - fg_count == 0: the pose renders NOTHING (diverged past the near
+    #   plane / out of frame).  It would otherwise score a perfect 0.0
+    #   and beat every valid hypothesis at the argmax -> -inf.
+    # - fg_count > 0 but vis_count == 0: the object renders but every
+    #   foreground pixel is occluded by a nearer surface.  There is no
+    #   evidence either way, so score the truncation floor (the worst a
+    #   fully *visible* hypothesis can score): the fully-occluded true
+    #   pose then TIES wrong-but-visible hypotheses instead of losing to
+    #   them, and argmax tie-breaking keeps hypothesis 0 (the init).
+    score = jnp.where(vis_count > 0, score, -trunc)
     return jnp.where(fg_count > 0, score, -jnp.inf)
 
 
 @partial(
     jax.jit,
     static_argnames=("model", "num_hypotheses", "num_iters", "out_size",
-                     "renderer"),
+                     "renderer", "coarse_iters", "coarse_size"),
 )
 def refine_multi_hypothesis(
     variables,
@@ -79,11 +114,16 @@ def refine_multi_hypothesis(
     hyp_trans: tuple = (0.02, 0.02, 0.08),
     obs_mask: jax.Array | None = None,  # (B, H, W) for input_mask models
     obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
+    coarse_iters: int = 0,
+    coarse_size: tuple[int, int] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Refine ``num_hypotheses`` perturbations of each init, keep the best.
 
     Hypothesis 0 is the unperturbed init.  Returns (best poses (B, 3, 4),
-    scores (B, num_hypotheses)).
+    scores (B, num_hypotheses)).  ``coarse_iters``/``coarse_size`` pass
+    through to :func:`refine_poses` so the multi-hypothesis path runs the
+    SAME coarse-to-fine schedule as the single-hypothesis eval it is
+    compared against.
     """
     b = init_pose.shape[0]
     nh = num_hypotheses
@@ -100,15 +140,18 @@ def refine_multi_hypothesis(
     k_r = jnp.tile(k, (nh, 1, 1))
     cls_r = jnp.tile(class_idx, (nh,))
 
+    obs_depth_r = (None if obs_depth is None
+                   else jnp.tile(obs_depth, (nh, 1, 1)))
     refined = refine_poses(
         variables, model, assets, obs_r, hyps, k_r, cls_r,
         num_iters=num_iters, out_size=out_size, renderer=renderer,
         obs_mask=None if obs_mask is None else jnp.tile(obs_mask, (nh, 1, 1)),
-        obs_depth=(None if obs_depth is None
-                   else jnp.tile(obs_depth, (nh, 1, 1))),
+        obs_depth=obs_depth_r,
+        coarse_iters=coarse_iters, coarse_size=coarse_size,
     )
     ab = gather_class(assets, cls_r)
-    scores = score_poses(ab, obs_r, refined, k_r, out_size, renderer)
+    scores = score_poses(ab, obs_r, refined, k_r, out_size, renderer,
+                         obs_depth=obs_depth_r)
 
     refined = refined.reshape(nh, b, 3, 4)
     scores = scores.reshape(nh, b)
