@@ -37,6 +37,10 @@ def parse_args(argv=None):
                         "style import), matched to LM6d test records by "
                         "(scene_id, im_id, obj_id); unmatched records keep "
                         "their default init")
+    p.add_argument("--posecnn-mat", default="",
+                   help="directory of PoseCNN released per-keyframe .mat "
+                        "results ({i:06d}.mat ordered by keyframe.txt) "
+                        "used as init poses (dataset.name=ycb_video only)")
     p.add_argument("--save-poses", action="store_true",
                    help="write per-sample refined pose trajectories to "
                         "refined_poses.npz (reference pred_eval stores "
@@ -86,8 +90,7 @@ def main(argv=None):
     out_size = (cfg.network.input_height, cfg.network.input_width)
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
     bs = cfg.test.batch_size
-    obs_depth = obs_mask = None  # input_depth/input_mask extra channels
-    batches = None  # synthetic branches fill this; lm6d builds arrays
+    batches = None  # "stream" marks the on-disk (IO-prefetched) branch
     records = None  # lm6d test records (scene/frame ids for BOP export)
     if d.obj_ids and len(d.obj_ids) != len(d.objects):
         # checked before ANY batch generation: --save-poses maps class
@@ -104,6 +107,12 @@ def main(argv=None):
                          "are matched by (scene, im, obj) ids which "
                          "generated data does not have")
 
+    # Every branch produces a per-batch STREAM (dicts with obs_rgb,
+    # pose_src, pose_tgt, class_idx [, obs_depth, obs_mask]); observed
+    # frames are never materialized as one whole-set device array — a
+    # LINEMOD-scale test set (~13k frames x 480x640x3 f32) is ~48 GB,
+    # more than chip HBM, so frames stream host->device per refine batch
+    # (reference tester iterates its TestDataLoader the same way).
     if d.name == "synthetic_occlusion":
         # Occluded-LINEMOD protocol: observed frames are multi-object
         # scenes with distractor occluders.
@@ -111,17 +120,19 @@ def main(argv=None):
 
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
-        batches = [
-            synthetic_occlusion_batch(
-                jax.random.PRNGKey(1000 + i), assets, bs, k_cam, image_size,
-                rot_noise_deg=cfg.train.rot_noise_deg,
-                rot_max_deg=cfg.train.rot_noise_max_deg,
-                trans_noise=cfg.train.trans_noise,
-                trans_max=cfg.train.trans_noise_max,
-                renderer=cfg.test.renderer,
-            )
-            for i in range(n // bs)
-        ]
+        num_real = n  # generated batches have no padding
+
+        def batch_stream():
+            for i in range(n // bs):
+                yield synthetic_occlusion_batch(
+                    jax.random.PRNGKey(1000 + i), assets, bs, k_cam,
+                    image_size,
+                    rot_noise_deg=cfg.train.rot_noise_deg,
+                    rot_max_deg=cfg.train.rot_noise_max_deg,
+                    trans_noise=cfg.train.trans_noise,
+                    trans_max=cfg.train.trans_noise_max,
+                    renderer=cfg.test.renderer,
+                )
     elif d.name.startswith("synthetic") or d.name == "modelnet":
         # Observed frames come from the SAME generator as training
         # (randomized lighting, noise background) — the eval distribution
@@ -130,19 +141,81 @@ def main(argv=None):
 
         n = args.num_samples or 8 * bs
         n = (n // bs) * bs
-        batches = [
-            synthetic_batch(
-                jax.random.PRNGKey(9000 + i), assets, bs, k_cam, image_size,
-                rot_noise_deg=cfg.train.rot_noise_deg,
-                rot_max_deg=cfg.train.rot_noise_max_deg,
-                trans_noise=cfg.train.trans_noise,
-                trans_max=cfg.train.trans_noise_max,
-                renderer=cfg.test.renderer,
-            )
-            for i in range(n // bs)
-        ]
+        num_real = n
+
+        def batch_stream():
+            for i in range(n // bs):
+                yield synthetic_batch(
+                    jax.random.PRNGKey(9000 + i), assets, bs, k_cam,
+                    image_size,
+                    rot_noise_deg=cfg.train.rot_noise_deg,
+                    rot_max_deg=cfg.train.rot_noise_max_deg,
+                    trans_noise=cfg.train.trans_noise,
+                    trans_max=cfg.train.trans_noise_max,
+                    renderer=cfg.test.renderer,
+                )
+    elif d.name == "ycb_video":
+        # YCB-Video keyframe protocol (reference §2.3): evaluate every
+        # object of a sequence on the released keyframe list, batched per
+        # keyframe (no tracking), PoseCNN inits, AUC tables.
+        from deepim_tpu.data.video import (
+            VideoDataset, iter_keyframe_batches, keyframe_records,
+        )
+
+        vds = VideoDataset(d.root, list(d.objects))
+        if not vds.has_keyframes():
+            raise SystemExit(
+                f"dataset.name=ycb_video needs {d.root}/video_sets/"
+                "keyframe.txt (the keyframe test list); for sequential "
+                "tracking use cli.track instead")
+        records = keyframe_records(vds)
+        num_real = len(records)
+        n = (num_real + bs - 1) // bs * bs
+        recs_pad = records + [records[-1]] * (n - num_real)
+        pose_gt_all = np.stack([r.pose for r in recs_pad])
+        init_all = pose_gt_all.copy()
+        cls_all = np.asarray([r.class_idx for r in recs_pad], np.int32)
+        if cfg.test.init == "perturb":
+            init_all = np.asarray(perturb_poses(
+                jax.random.PRNGKey(7), jnp.asarray(pose_gt_all),
+                cfg.train.rot_noise_deg, cfg.train.rot_noise_max_deg,
+                cfg.train.trans_noise, cfg.train.trans_noise_max,
+            ))
+        if args.posecnn_mat:
+            from deepim_tpu.data.video import apply_posecnn_mat_init
+
+            matched = apply_posecnn_mat_init(
+                records, init_all, args.posecnn_mat,
+                obj_ids=list(d.obj_ids) or None)
+            print(f"PoseCNN .mat init poses: matched {matched}/"
+                  f"{len(records)} records from {args.posecnn_mat}")
+        if args.init_poses:
+            from deepim_tpu.data.lm6d import apply_bop_init
+
+            matched = apply_bop_init(records, init_all, args.init_poses,
+                                     obj_ids=list(d.obj_ids) or None)
+            print(f"external init poses: matched {matched}/{len(records)} "
+                  f"records from {args.init_poses}")
+
+        def batch_stream():
+            frames = iter_keyframe_batches(vds, records, bs, pad_to=n)
+            for j, fr in enumerate(frames):
+                sl = slice(j * bs, (j + 1) * bs)
+                out = {
+                    "obs_rgb": fr["obs_rgb"],
+                    "pose_src": init_all[sl],
+                    "pose_tgt": pose_gt_all[sl],
+                    "class_idx": cls_all[sl],
+                }
+                if cfg.network.input_depth:
+                    out["obs_depth"] = fr["obs_depth"]
+                if cfg.network.input_mask:
+                    out["obs_mask"] = fr["obs_mask"]
+                yield out
+
+        batches = "stream"
     else:
-        from deepim_tpu.data.lm6d import LM6DDataset, make_eval_arrays
+        from deepim_tpu.data.lm6d import LM6DDataset, iter_frame_batches
 
         ds = LM6DDataset(d.root, list(d.objects))
         records = []
@@ -150,43 +223,46 @@ def main(argv=None):
             records += ds.gt_roidb(obj, "test")
         num_real = len(records)
         n = (num_real + bs - 1) // bs * bs
-        arrs = make_eval_arrays(ds, records, pad_to=n)
-        obs = jnp.asarray(arrs["obs_rgb"])
-        obs_depth = (jnp.asarray(arrs["obs_depth"])
-                     if cfg.network.input_depth else None)
-        obs_mask = (jnp.asarray(arrs["obs_mask"])
-                    if cfg.network.input_mask else None)
-        pose_gt = jnp.asarray(arrs["pose_gt"])
-        init = jnp.asarray(arrs["init_pose"])
-        class_idx = jnp.asarray(arrs["class_idx"])
-        ks = jnp.tile(k_cam[None], (n, 1, 1))
+        # Poses/ids are tiny (3x4 per record) — build them whole-set from
+        # the roidb without touching any image file.
+        recs_pad = records + [records[-1]] * (n - num_real)
+        pose_gt_all = np.stack([r.pose for r in recs_pad])
+        init_all = np.stack([
+            r.init_pose if r.init_pose is not None else r.pose
+            for r in recs_pad
+        ])
+        cls_all = np.asarray([r.class_idx for r in recs_pad], np.int32)
         if cfg.test.init == "perturb":
-            init = perturb_poses(
-                jax.random.PRNGKey(7), pose_gt, cfg.train.rot_noise_deg,
-                cfg.train.rot_noise_max_deg, cfg.train.trans_noise,
-                cfg.train.trans_noise_max,
-            )
+            init_all = np.asarray(perturb_poses(
+                jax.random.PRNGKey(7), jnp.asarray(pose_gt_all),
+                cfg.train.rot_noise_deg, cfg.train.rot_noise_max_deg,
+                cfg.train.trans_noise, cfg.train.trans_noise_max,
+            ))
         if args.init_poses:
             from deepim_tpu.data.lm6d import apply_bop_init
 
-            init_np = np.asarray(init).copy()
-            matched = apply_bop_init(records, init_np, args.init_poses,
+            matched = apply_bop_init(records, init_all, args.init_poses,
                                      obj_ids=list(d.obj_ids) or None)
-            init = jnp.asarray(init_np)
             print(f"external init poses: matched {matched}/{len(records)} "
                   f"records from {args.init_poses}")
 
-    if batches is not None:
-        num_real = n  # generated batches have no padding
-        obs = jnp.concatenate([b["obs_rgb"] for b in batches])
-        pose_gt = jnp.concatenate([b["pose_tgt"] for b in batches])
-        init = jnp.concatenate([b["pose_src"] for b in batches])
-        class_idx = jnp.concatenate([b["class_idx"] for b in batches])
-        ks = jnp.tile(k_cam[None], (n, 1, 1))
-        if cfg.network.input_depth:
-            obs_depth = jnp.concatenate([b["obs_depth"] for b in batches])
-        if cfg.network.input_mask:
-            obs_mask = jnp.concatenate([b["obs_mask"] for b in batches])
+        def batch_stream():
+            frames = iter_frame_batches(ds, records, bs, pad_to=n)
+            for j, fr in enumerate(frames):
+                sl = slice(j * bs, (j + 1) * bs)
+                out = {
+                    "obs_rgb": fr["obs_rgb"],
+                    "pose_src": init_all[sl],
+                    "pose_tgt": pose_gt_all[sl],
+                    "class_idx": cls_all[sl],
+                }
+                if cfg.network.input_depth:
+                    out["obs_depth"] = fr["obs_depth"]
+                if cfg.network.input_mask:
+                    out["obs_mask"] = fr["obs_mask"]
+                yield out
+
+        batches = "stream"  # marker: wrap in the IO prefetch thread
 
     # Data-parallel eval (reference: tester split test batches over --gpus).
     # Sharding the batch axis over a ('data',) mesh lets GSPMD partition the
@@ -211,43 +287,64 @@ def main(argv=None):
         def shard(x):
             return x
 
-    trajs = []
+    n_cfg = cfg.network
+    coarse_size = ((n_cfg.coarse_height, n_cfg.coarse_width)
+                   if n_cfg.coarse_height else None)
+    coarse_iters = (cfg.test.coarse_iters if args.coarse_iters < 0
+                    else args.coarse_iters)
+    stream = batch_stream()
+    if batches == "stream":
+        # On-disk frames: run the PNG IO/decode one batch ahead on a
+        # background thread so it overlaps device compute.
+        from deepim_tpu.data.lm6d import prefetch_iter
+
+        stream = prefetch_iter(stream)
+    ks_b = jnp.tile(k_cam[None], (bs, 1, 1))  # same intrinsics every batch
+    trajs = []  # per-batch (iters+1, bs, 3, 4) pose trajectories (tiny)
+    gt_parts, cls_parts = [], []
+    vis_rows: list[np.ndarray] = []  # first args.vis observed frames only
     t0 = time.time()
-    for i in range(0, n, bs):
-        sl = slice(i, i + bs)
+    for bi, batch in enumerate(stream):
+        obs_b = jnp.asarray(batch["obs_rgb"])
+        init_b = jnp.asarray(batch["pose_src"])
+        cls_b = jnp.asarray(batch["class_idx"])
+        obs_mask_b = (jnp.asarray(batch["obs_mask"])
+                      if cfg.network.input_mask else None)
+        obs_depth_b = (jnp.asarray(batch["obs_depth"])
+                       if cfg.network.input_depth else None)
+        gt_parts.append(np.asarray(batch["pose_tgt"]))
+        cls_parts.append(np.asarray(batch["class_idx"]))
+        if args.vis and len(vis_rows) < args.vis:
+            take = min(args.vis - len(vis_rows), obs_b.shape[0])
+            vis_rows += list(np.asarray(batch["obs_rgb"][:take]))
         if args.no_refine:
-            trajs.append(jnp.tile(init[sl][None], (2, 1, 1, 1)))
+            trajs.append(jnp.tile(init_b[None], (2, 1, 1, 1)))
             continue
         if args.hypotheses > 1:
             from deepim_tpu.refine import refine_multi_hypothesis
 
             best, _ = refine_multi_hypothesis(
-                state.params, model, assets, shard(obs[sl]), shard(init[sl]),
-                shard(ks[sl]), shard(class_idx[sl]), jax.random.PRNGKey(17 + i),
+                state.params, model, assets, shard(obs_b), shard(init_b),
+                shard(ks_b), shard(cls_b),
+                jax.random.PRNGKey(17 + bi * bs),
                 num_hypotheses=args.hypotheses,
                 num_iters=cfg.test.test_iter, out_size=out_size,
                 renderer=cfg.test.renderer,
-                obs_mask=None if obs_mask is None else shard(obs_mask[sl]),
-                obs_depth=(None if obs_depth is None
-                           else shard(obs_depth[sl])),
+                obs_mask=None if obs_mask_b is None else shard(obs_mask_b),
+                obs_depth=None if obs_depth_b is None else shard(obs_depth_b),
+                coarse_iters=coarse_iters, coarse_size=coarse_size,
             )
-            trajs.append(jnp.stack([init[sl], best]))
+            trajs.append(jnp.stack([init_b, best]))
             continue
-        n_cfg = cfg.network
-        coarse_size = ((n_cfg.coarse_height, n_cfg.coarse_width)
-                       if n_cfg.coarse_height else None)
-        coarse_iters = (cfg.test.coarse_iters if args.coarse_iters < 0
-                        else args.coarse_iters)
         trajs.append(
             refine_poses(
-                state.params, model, assets, shard(obs[sl]), shard(init[sl]),
-                shard(ks[sl]), shard(class_idx[sl]),
+                state.params, model, assets, shard(obs_b), shard(init_b),
+                shard(ks_b), shard(cls_b),
                 num_iters=cfg.test.test_iter,
                 out_size=out_size, renderer=cfg.test.renderer,
                 return_all=True,
-                obs_mask=None if obs_mask is None else shard(obs_mask[sl]),
-                obs_depth=(None if obs_depth is None
-                           else shard(obs_depth[sl])),
+                obs_mask=None if obs_mask_b is None else shard(obs_mask_b),
+                obs_depth=None if obs_depth_b is None else shard(obs_depth_b),
                 coarse_iters=coarse_iters,
                 coarse_size=coarse_size,
             )
@@ -259,14 +356,15 @@ def main(argv=None):
           f"in {dt:.2f}s ({n / dt:.1f} poses/s, incl. compile)")
     n_refined = n  # rows actually refined (incl. padding) — for time_s
 
+    pose_gt = np.concatenate(gt_parts)
+    class_idx = np.concatenate(cls_parts)
+    ks = np.tile(np.asarray(k_cam)[None], (n, 1, 1))
     if num_real < n:
-        # Batch padding repeats the last record (make_eval_arrays pad_to);
-        # drop those rows so metrics and exports weight each real record
-        # exactly once.
+        # Batch padding repeats the last record; drop those rows so
+        # metrics and exports weight each real record exactly once.
         traj = traj[:, :num_real]
         pose_gt, class_idx, ks = (pose_gt[:num_real], class_idx[:num_real],
                                   ks[:num_real])
-        obs = obs[:num_real]
         n = num_real
 
     # Per-iteration tables (reference pred_eval prints per-iter results).
@@ -295,17 +393,17 @@ def main(argv=None):
 
         vis_dir = os.path.join(out_dir, "vis")
         os.makedirs(vis_dir, exist_ok=True)
-        nv = min(args.vis, n)
+        nv = min(args.vis, n, len(vis_rows))
         ones = jnp.ones((nv, 1), bool)
         interpret = jax.devices()[0].platform == "cpu"
         cols = []  # (iters+2) × (nv, H, W, 3/1) render outputs
-        for pose_it in list(traj[:, :nv]) + [pose_gt[:nv]]:
+        for pose_it in list(traj[:, :nv]) + [jnp.asarray(pose_gt[:nv])]:
             rgb, depth = render_scene(
-                assets, class_idx[:nv, None], pose_it[:, None], ones,
-                ks[:nv], image_size, interpret=interpret,
+                assets, jnp.asarray(class_idx[:nv, None]), pose_it[:, None],
+                ones, jnp.asarray(ks[:nv]), image_size, interpret=interpret,
             )
             cols.append((np.asarray(rgb), np.asarray(depth)))
-        obs_np = np.asarray(obs[:nv])
+        obs_np = np.stack(vis_rows[:nv])
         for i in range(nv):
             tiles = [overlay_render(obs_np[i], rgb[i], depth[i])
                      for rgb, depth in cols]

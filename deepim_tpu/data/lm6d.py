@@ -53,8 +53,19 @@ class LM6DDataset:
 
     # -- paths ---------------------------------------------------------------
 
+    #: model filenames probed in order (reference render_py loads
+    #: .ply OR .obj — YCB ships textured.obj next to textured.ply).
+    MODEL_CANDIDATES = ("textured.ply", "textured.obj", "model.ply",
+                        "model.obj", "model.off")
+
     def model_path(self, obj: str) -> str:
-        return os.path.join(self.root, "models", obj, "textured.ply")
+        mdir = os.path.join(self.root, "models", obj)
+        for name in self.MODEL_CANDIDATES:
+            cand = os.path.join(mdir, name)
+            if os.path.exists(cand):
+                return cand
+        # default (also the write target for dataset generators)
+        return os.path.join(mdir, "textured.ply")
 
     def _obs(self, scene: str, frame: str, suffix: str) -> str:
         return os.path.join(self.root, "data", "observed", scene,
@@ -72,9 +83,9 @@ class LM6DDataset:
     # -- loading ---------------------------------------------------------------
 
     def load_meshes(self, max_faces: int | None = None):
-        from deepim_tpu.raster.mesh import decimate_mesh, load_ply
+        from deepim_tpu.raster.mesh import decimate_mesh, load_mesh
 
-        meshes = [load_ply(self.model_path(o)) for o in self.objects]
+        meshes = [load_mesh(self.model_path(o)) for o in self.objects]
         if max_faces:
             meshes = [decimate_mesh(m, max_faces) for m in meshes]
         return meshes
@@ -255,6 +266,62 @@ def load_frames_prefetched(dataset: LM6DDataset,
     return frames
 
 
+def prefetch_iter(it, depth: int = 1):
+    """Run ``it`` on a background thread, keeping ``depth`` items ready.
+
+    Streams eval frame batches so PNG decode overlaps device compute
+    (reference ``TestDataLoader`` IO threading).  Worker exceptions are
+    re-raised at the consuming ``next()`` with the real traceback chained.
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+
+    def work():
+        try:
+            for x in it:
+                q.put(("item", x))
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put(("error", e))
+            return
+        q.put(("done", None))
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        kind, x = q.get()
+        if kind == "item":
+            yield x
+        elif kind == "error":
+            raise RuntimeError("prefetch worker failed") from x
+        else:
+            return
+
+
+def iter_frame_batches(dataset: LM6DDataset, records: list[FrameRecord],
+                       batch_size: int, pad_to: int | None = None):
+    """Yield stacked frame batches (obs_rgb/obs_depth/obs_mask) of exactly
+    ``batch_size`` frames, loading ONE batch of PNGs at a time.
+
+    The streaming counterpart of :func:`make_eval_arrays` for real-dataset
+    scale: a 13k-frame 480x640 test set is ~48 GB as one dense f32 array
+    (more than chip HBM), so eval must stream host->device per refine
+    batch.  ``pad_to`` repeats the last record to fill the final batch
+    (callers drop padded rows from the results).  Wrap in
+    :func:`prefetch_iter` to overlap decode with device compute.
+    """
+    n = pad_to or len(records)
+    assert n % batch_size == 0, "pad_to must be a batch multiple"
+    recs = records + [records[-1]] * (n - len(records))
+    for i in range(0, n, batch_size):
+        frames = load_frames_prefetched(dataset, recs[i : i + batch_size])
+        yield {
+            "obs_rgb": np.stack([f["obs_rgb"] for f in frames]),
+            "obs_depth": np.stack([f["obs_depth"] for f in frames]),
+            "obs_mask": np.stack([f["obs_mask"] for f in frames]),
+        }
+
+
 def make_eval_arrays(dataset: LM6DDataset, records: list[FrameRecord],
                      pad_to: int | None = None) -> dict[str, np.ndarray]:
     """Stack a record list into dense arrays for batched refinement.
@@ -344,7 +411,12 @@ class TrainBatcher:
     """
 
     def __init__(self, dataset: LM6DDataset, objects: list[str],
-                 batch_size: int, split: str = "train", seed: int = 0):
+                 batch_size: int, split: str = "train", seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0):
+        """``num_shards``/``shard_index`` shard the roidb across processes
+        for multi-host training (pass ``jax.process_count()`` /
+        ``jax.process_index()``; ``batch_size`` is then the PER-PROCESS
+        slice — ``parallel.process_local_batch_size(global_batch)``)."""
         import threading
 
         self.dataset = dataset
@@ -352,8 +424,12 @@ class TrainBatcher:
         self.records = [
             r for obj in objects for r in dataset.gt_roidb(obj, split)
         ]
+        if num_shards > 1:
+            self.records = self.records[shard_index::num_shards]
         if not self.records:
-            raise ValueError(f"no '{split}' records under {dataset.root}")
+            raise ValueError(f"no '{split}' records under {dataset.root}"
+                             + (f" for shard {shard_index}/{num_shards}"
+                                if num_shards > 1 else ""))
         self._rng = np.random.RandomState(seed)
         self._order: list[int] = []
         self._threading = threading
@@ -390,7 +466,13 @@ class TrainBatcher:
         box = {}
 
         def work():
-            box["batch"] = self._load(recs)
+            # Exceptions must cross the thread boundary intact: a corrupt
+            # PNG or missing file mid-epoch would otherwise surface as an
+            # opaque KeyError('batch') with the real traceback lost.
+            try:
+                box["batch"] = self._load(recs)
+            except BaseException as e:  # noqa: BLE001 — re-raised in next()
+                box["error"] = e
 
         self._pending = box
         self._thread = self._threading.Thread(target=work, daemon=True)
@@ -398,6 +480,12 @@ class TrainBatcher:
 
     def next(self) -> dict[str, np.ndarray]:
         self._thread.join()
+        if "error" in self._pending:
+            err = self._pending["error"]
+            self._start_next()  # keep the iterator usable past a bad batch
+            raise RuntimeError(
+                "TrainBatcher prefetch worker failed while loading a batch"
+            ) from err
         batch = self._pending["batch"]
         self._start_next()
         return batch

@@ -108,6 +108,50 @@ class VideoDataset:
             "objects": objs,
         }
 
+    # -- keyframe protocol (the YCB-Video evaluation convention) ----------
+
+    def keyframes(self) -> list[tuple[str, str]]:
+        """The released-style keyframe test list: ``video_sets/keyframe.txt``
+        lines ``{seq}/{frame}`` (YCB-Video evaluates on these frames only,
+        batched per keyframe — NOT by tracking)."""
+        path = os.path.join(self.root, "video_sets", "keyframe.txt")
+        with open(path) as f:
+            return [tuple(ln.strip().split("/"))
+                    for ln in f if ln.strip()]
+
+    def has_keyframes(self) -> bool:
+        return os.path.exists(
+            os.path.join(self.root, "video_sets", "keyframe.txt"))
+
+    def write_keyframes(self, pairs: list[tuple[str, str]]) -> None:
+        os.makedirs(os.path.join(self.root, "video_sets"), exist_ok=True)
+        with open(os.path.join(self.root, "video_sets", "keyframe.txt"),
+                  "w") as f:
+            for seq, fid in pairs:
+                f.write(f"{seq}/{fid}\n")
+
+    def load_keyframe(self, seq: str, frame: str, obj: str) -> dict:
+        """One keyframe's observation for one object (RGB [0,1], metric
+        depth, object mask).  Video labels use the per-sequence slot
+        convention (pixel = 1 + slot in ``{seq}_objects.txt``)."""
+        rgb = LM6DDataset._read_image(
+            self._vid(seq, frame, "color.png")).astype(np.float32) / 255.0
+        dpath = self._vid(seq, frame, "depth.png")
+        depth = (LM6DDataset._read_image(dpath).astype(np.float32)
+                 / DEPTH_FACTOR if os.path.exists(dpath)
+                 else np.zeros(rgb.shape[:2], np.float32))
+        lpath = self._vid(seq, frame, "label.png")
+        if os.path.exists(lpath):
+            slot = self.objects_in(seq).index(obj)
+            mask = LM6DDataset._read_image(lpath) == (slot + 1)
+        else:
+            mask = depth > 0
+        return {"obs_rgb": rgb, "obs_depth": depth, "obs_mask": mask}
+
+    def keyframe_pose(self, seq: str, frame: str, obj: str) -> np.ndarray:
+        return np.loadtxt(self._vid(seq, frame, f"pose_{obj}.txt"),
+                          dtype=np.float32).reshape(3, 4)
+
     # -- writing (toolkit) -----------------------------------------------
 
     def write_sequence(self, seq: str, frame_ids: list[str], objs: list[str],
@@ -142,6 +186,112 @@ class VideoDataset:
         np.savetxt(os.path.join(self.root, "init_poses",
                                 f"video_{seq}.txt"),
                    init_poses.reshape(-1, 12))
+
+
+def keyframe_records(ds: VideoDataset):
+    """Per-(keyframe, object) eval records from the keyframe list.
+
+    The reference's YCB-Video protocol: every object present in a
+    sequence is evaluated on every keyframe of that sequence, batched
+    (no temporal propagation).  Returns ``FrameRecord`` rows (scene=seq)
+    compatible with the LM6d eval path; init_pose is filled by
+    perturbation or an external PoseCNN import downstream.
+    """
+    from deepim_tpu.data.lm6d import FrameRecord
+
+    records = []
+    obj_cache: dict[str, list[str]] = {}
+    for seq, fid in ds.keyframes():
+        if seq not in obj_cache:
+            obj_cache[seq] = ds.objects_in(seq)
+        for obj in obj_cache[seq]:
+            records.append(FrameRecord(
+                scene=seq, frame=fid, obj=obj,
+                class_idx=ds.class_to_idx[obj],
+                pose=ds.keyframe_pose(seq, fid, obj),
+                init_pose=None,
+            ))
+    return records
+
+
+def iter_keyframe_batches(ds: VideoDataset, records, batch_size: int,
+                          pad_to: int | None = None):
+    """Streamed stacked frame batches for keyframe records (the video
+    counterpart of :func:`deepim_tpu.data.lm6d.iter_frame_batches`)."""
+    n = pad_to or len(records)
+    assert n % batch_size == 0, "pad_to must be a batch multiple"
+    recs = list(records) + [records[-1]] * (n - len(records))
+    for i in range(0, n, batch_size):
+        frames = [ds.load_keyframe(r.scene, r.frame, r.obj)
+                  for r in recs[i : i + batch_size]]
+        yield {
+            "obs_rgb": np.stack([f["obs_rgb"] for f in frames]),
+            "obs_depth": np.stack([f["obs_depth"] for f in frames]),
+            "obs_mask": np.stack([f["obs_mask"] for f in frames]),
+        }
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    """(w, x, y, z) unit quaternion -> (3, 3) rotation (numpy, loader-side)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def apply_posecnn_mat_init(records, init: np.ndarray, results_dir: str,
+                           obj_ids: list[int] | None = None,
+                           pose_key: str = "poses") -> int:
+    """Import PoseCNN's released per-keyframe results (.mat) as init poses.
+
+    The PoseCNN release ships one MATLAB file per keyframe, named by the
+    0-based keyframe.txt line number (``000000.mat``, ``000001.mat``, ...),
+    each with ``rois`` (per detection; column 1 = 1-based YCB class id)
+    and ``poses`` (per detection: 7 values, unit quaternion wxyz + txyz).
+    ``records`` are :func:`keyframe_records` rows IN ORDER; ``obj_ids``
+    maps record.class_idx to the release's 1-based class ids (defaults to
+    class_idx + 1).  Mutates ``init`` in place; returns the match count.
+    Reference parity: the YCB-Video dataset classes load PoseCNN results
+    the same way (SURVEY.md §2.3 "PoseCNN init poses from released
+    results").
+    """
+    from scipy.io import loadmat
+
+    # keyframe index = position of (seq, frame) in keyframe.txt order,
+    # recoverable from the records themselves (they were emitted in order).
+    kf_index: dict[tuple[str, str], int] = {}
+    for r in records:
+        key = (r.scene, r.frame)
+        if key not in kf_index:
+            kf_index[key] = len(kf_index)
+
+    matched = 0
+    cache: dict[int, tuple[np.ndarray, np.ndarray] | None] = {}
+    for i, rec in enumerate(records):
+        ki = kf_index[(rec.scene, rec.frame)]
+        if ki not in cache:
+            path = os.path.join(results_dir, f"{ki:06d}.mat")
+            if not os.path.exists(path):
+                cache[ki] = None
+            else:
+                m = loadmat(path)
+                cache[ki] = (np.atleast_2d(np.asarray(m["rois"])),
+                             np.atleast_2d(np.asarray(m[pose_key])))
+        hit = cache[ki]
+        if hit is None:
+            continue
+        rois, poses = hit
+        want = (obj_ids[rec.class_idx] if obj_ids else rec.class_idx + 1)
+        rows = np.nonzero(rois[:, 1].astype(int) == int(want))[0]
+        if rows.size == 0:
+            continue
+        p = np.asarray(poses[rows[0]], np.float32).reshape(-1)
+        init[i, :, :3] = _quat_to_mat_np(p[:4])
+        init[i, :, 3] = p[4:7]
+        matched += 1
+    return matched
 
 
 def gen_video(root: str, meshes: dict, k: np.ndarray,

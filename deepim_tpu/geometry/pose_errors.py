@@ -31,12 +31,21 @@ def add_error(points: jax.Array, pose_est: jax.Array, pose_gt: jax.Array) -> jax
     return jnp.mean(jnp.linalg.norm(p_est - p_gt, axis=-1), axis=-1)
 
 
-def adds_error(points: jax.Array, pose_est: jax.Array, pose_gt: jax.Array) -> jax.Array:
+def adds_error(
+    points: jax.Array,
+    pose_est: jax.Array,
+    pose_gt: jax.Array,
+    point_block: int | None = None,
+) -> jax.Array:
     """ADD-S: mean over GT points of distance to the nearest estimated point.
 
     Uses the matmul form of pairwise squared distances so the (N, N) block
-    lands on the MXU.  For the usual N≈3000 sampled points this is a single
-    ~3000x3000 distance matrix per object.
+    lands on the MXU.  ``point_block`` tiles the estimated-point axis so the
+    live distance matrix is (..., N_gt, point_block) instead of the full
+    (..., N_gt, N_est) — at the protocol's N≈3000 the full matrix is
+    36 MB/sample, so a batched eval MUST tile (a 13k-sample LINEMOD eval
+    would otherwise need ~470 GB).  ``point_block=None`` keeps the single
+    full matrix (fine for one small batch).
     """
     p_est = transform_points(points, pose_est[..., :3], pose_est[..., 3])
     p_gt = transform_points(points, pose_gt[..., :3], pose_gt[..., 3])
@@ -46,16 +55,41 @@ def adds_error(points: jax.Array, pose_est: jax.Array, pose_gt: jax.Array) -> ja
     center = jnp.mean(p_gt, axis=-2, keepdims=True)
     p_est = p_est - center
     p_gt = p_gt - center
-    sq_est = jnp.sum(p_est * p_est, axis=-1)  # (..., N)
     sq_gt = jnp.sum(p_gt * p_gt, axis=-1)  # (..., N)
-    # HIGHEST precision: the default TPU matmul path drops to bf16 inputs,
-    # which is fine for the CNN but not for mm-scale metric geometry.
-    cross = jnp.einsum(
-        "...ni,...mi->...nm", p_gt, p_est, precision=jax.lax.Precision.HIGHEST
-    )  # (..., N_gt, N_est)
-    d2 = sq_gt[..., :, None] + sq_est[..., None, :] - 2.0 * cross
-    d2 = jnp.maximum(d2, 0.0)
-    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+    n_est = p_est.shape[-2]
+
+    def _min_d2_to_block(block):  # (..., blk, 3) -> (..., N_gt)
+        sq_blk = jnp.sum(block * block, axis=-1)  # (..., blk)
+        # HIGHEST precision: the default TPU matmul path drops to bf16
+        # inputs, which is fine for the CNN but not for mm-scale geometry.
+        cross = jnp.einsum(
+            "...ni,...mi->...nm", p_gt, block,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (..., N_gt, blk)
+        d2 = sq_gt[..., :, None] + sq_blk[..., None, :] - 2.0 * cross
+        return jnp.min(jnp.maximum(d2, 0.0), axis=-1)
+
+    if point_block is None or point_block >= n_est:
+        min_d2 = _min_d2_to_block(p_est)
+    else:
+        # Pad the est points far away (1e3 m ≫ any object) so padding never
+        # wins the nearest-point min, then scan a running min over blocks.
+        nb = -(-n_est // point_block)
+        pad = nb * point_block - n_est
+        p_est_p = jnp.concatenate(
+            [p_est, jnp.full(p_est.shape[:-2] + (pad, 3), 1e3, p_est.dtype)],
+            axis=-2,
+        )
+        blocks = jnp.moveaxis(
+            p_est_p.reshape(p_est.shape[:-2] + (nb, point_block, 3)), -3, 0
+        )  # (nb, ..., blk, 3)
+        min_d2 = jax.lax.scan(
+            lambda carry, blk: (jnp.minimum(carry, _min_d2_to_block(blk)),
+                                None),
+            jnp.full(sq_gt.shape, jnp.inf, p_gt.dtype),
+            blocks,
+        )[0]
+    return jnp.mean(jnp.sqrt(min_d2), axis=-1)
 
 
 def rot_error_deg(pose_est: jax.Array, pose_gt: jax.Array) -> jax.Array:

@@ -76,6 +76,26 @@ def test_evaluate_poses_degrades_with_error(assets):
     assert res["per_class"]["icosphere"]["add(-s)_0.1d"] < 50.0
 
 
+def test_evaluate_poses_chunked_matches_whole(assets):
+    """Sample chunking + ADD-S point tiling (the bounded-memory eval for
+    real-dataset scale) must reproduce the one-shot numbers exactly."""
+    rng = np.random.RandomState(3)
+    n = 21  # deliberately not a chunk multiple
+    gt = np.stack([_pose(0.2 * i, 0.6 + 0.02 * i) for i in range(n)])
+    est = gt.copy()
+    est[:, :, 3] += rng.uniform(-0.03, 0.03, (n, 3)).astype(np.float32)
+    cls = rng.randint(0, 2, n).astype(np.int32)
+    k = np.tile(K_CAM[None], (n, 1, 1))
+    ref = evaluate_poses(assets, ["box", "icosphere"], [True, False],
+                         est, gt, cls, k)
+    chunked = evaluate_poses(assets, ["box", "icosphere"], [True, False],
+                             est, gt, cls, k, chunk=8, point_block=24)
+    for name, row in ref["per_class"].items():
+        for key, val in row.items():
+            assert abs(chunked["per_class"][name][key] - val) < 1e-4, (
+                name, key)
+
+
 # --- LM6d layout ------------------------------------------------------------
 
 
@@ -109,6 +129,37 @@ def test_lm6d_eval_arrays_padding(disk_ds):
     assert arrs["num_real"] == len(recs)
     # pose file round-trip is exact in f32
     np.testing.assert_allclose(arrs["pose_gt"][0], recs[0].pose, rtol=1e-6)
+
+
+def test_iter_frame_batches_matches_eval_arrays(disk_ds):
+    """The streaming loader (real-dataset-scale eval path) yields exactly
+    the frames make_eval_arrays stacks, padding included, and survives the
+    IO-prefetch wrapper."""
+    from deepim_tpu.data.lm6d import iter_frame_batches, prefetch_iter
+
+    ds = LM6DDataset(disk_ds.root, ["box", "icosphere"])
+    recs = ds.gt_roidb("box", "test") + ds.gt_roidb("icosphere", "test")
+    bs = 4
+    pad_to = (len(recs) + bs - 1) // bs * bs
+    whole = make_eval_arrays(ds, recs, pad_to=pad_to)
+    got = list(prefetch_iter(iter_frame_batches(ds, recs, bs, pad_to=pad_to)))
+    assert len(got) == pad_to // bs
+    for key in ("obs_rgb", "obs_depth", "obs_mask"):
+        streamed = np.concatenate([b[key] for b in got])
+        np.testing.assert_array_equal(streamed, whole[key])
+
+
+def test_prefetch_iter_propagates_worker_errors():
+    from deepim_tpu.data.lm6d import prefetch_iter
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch_iter(bad())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(it)
 
 
 def test_gen_rendered_roundtrip(disk_ds):

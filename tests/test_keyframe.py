@@ -1,0 +1,153 @@
+"""Tests: YCB-Video keyframe evaluation protocol + PoseCNN .mat import.
+
+Reference parity (SURVEY.md §2.3 YCB-Video row): keyframe test list,
+per-keyframe batched refinement (not tracking), PoseCNN init poses from
+the released per-keyframe .mat results, AUC tables.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepim_tpu.data.video import (
+    VideoDataset,
+    apply_posecnn_mat_init,
+    gen_video,
+    iter_keyframe_batches,
+    keyframe_records,
+)
+from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+
+K_CAM = np.array([[120.0, 0, 64], [0, 120.0, 32], [0, 0, 1]], np.float32)
+H, W = 64, 128
+OBJECTS = ["box", "icosphere"]
+
+
+@pytest.fixture(scope="module")
+def video_ds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ycbv"))
+    ds = gen_video(root, {"box": box_mesh((0.3, 0.3, 0.06)),
+                          "icosphere": icosphere_mesh(0.05)},
+                   K_CAM, (H, W), num_frames=6, num_sequences=1, seed=0)
+    # keyframe list: every other frame (the YCB release also subsamples)
+    seqs = ds.sequences()
+    ds.write_keyframes([(s, fid) for s in seqs
+                        for fid in ds.frame_ids(s)[::2]])
+    return ds
+
+
+def test_keyframe_records(video_ds):
+    recs = keyframe_records(video_ds)
+    kfs = video_ds.keyframes()
+    assert len(kfs) == 3  # 6 frames, every other
+    # one record per (keyframe, object-in-sequence)
+    assert len(recs) == sum(len(video_ds.objects_in(s)) for s, _ in kfs)
+    r = recs[0]
+    assert r.pose.shape == (3, 4)
+    # GT pose matches the stored per-frame pose file
+    np.testing.assert_array_equal(
+        r.pose, video_ds.keyframe_pose(r.scene, r.frame, r.obj))
+
+
+def test_keyframe_batches_and_masks(video_ds):
+    recs = keyframe_records(video_ds)
+    bs = 4
+    pad_to = (len(recs) + bs - 1) // bs * bs
+    got = list(iter_keyframe_batches(video_ds, recs, bs, pad_to=pad_to))
+    assert len(got) == pad_to // bs
+    b0 = got[0]
+    assert b0["obs_rgb"].shape == (bs, H, W, 3)
+    assert b0["obs_depth"].max() > 0.3
+    # per-sequence slot label convention: each record's mask selects only
+    # its own object's pixels, so the two objects' masks are disjoint
+    m_box, m_ico = b0["obs_mask"][0], b0["obs_mask"][1]
+    assert m_box.sum() > 0 and m_ico.sum() > 0
+    assert not (m_box & m_ico).any()
+
+
+def test_posecnn_mat_import(video_ds, tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+    from deepim_tpu.geometry.rotations import mat2quat
+    import jax.numpy as jnp
+
+    recs = keyframe_records(video_ds)
+    kfs = video_ds.keyframes()
+    results = str(tmp_path / "posecnn")
+    os.makedirs(results)
+    # write one released-style .mat per keyframe: rois column 1 holds the
+    # 1-based class id, poses rows are wxyz-quat + txyz
+    want = {}
+    for ki, (seq, fid) in enumerate(kfs):
+        objs = video_ds.objects_in(seq)
+        rois, poses = [], []
+        for obj in objs:
+            cls1 = video_ds.class_to_idx[obj] + 1
+            gt = video_ds.keyframe_pose(seq, fid, obj)
+            q = np.asarray(mat2quat(jnp.asarray(gt[:, :3])))
+            t = gt[:, 3] + np.float32([0.01, 0.0, 0.02])  # offset != GT
+            rois.append([0, cls1, 0, 0, 0, 0, 0.9])
+            poses.append(np.concatenate([q, t]))
+            want[(seq, fid, obj)] = (q, t)
+        scipy_io.savemat(os.path.join(results, f"{ki:06d}.mat"),
+                         {"rois": np.asarray(rois, np.float32),
+                          "poses": np.asarray(poses, np.float32)})
+
+    init = np.stack([r.pose for r in recs]).copy()
+    matched = apply_posecnn_mat_init(recs, init, results)
+    assert matched == len(recs)
+    for i, r in enumerate(recs):
+        q, t = want[(r.scene, r.frame, r.obj)]
+        np.testing.assert_allclose(init[i, :, 3], t, atol=1e-6)
+        # rotation round-trips through the quaternion
+        np.testing.assert_allclose(init[i, :, :3] @ init[i, :, :3].T,
+                                   np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(init[i, :, :3], r.pose[:, :3], atol=1e-4)
+
+    # a results dir with missing files matches nothing extra
+    init2 = np.stack([r.pose for r in recs]).copy()
+    assert apply_posecnn_mat_init(recs, init2, str(tmp_path / "nope")) == 0
+
+
+@pytest.mark.slow
+def test_cli_ycb_keyframe_end_to_end(video_ds, tmp_path):
+    """cli.test --cfg ycb_video runs the keyframe protocol end to end:
+    streamed keyframe batches, refinement, AUC table, BOP export."""
+    import json
+
+    import yaml
+
+    from deepim_tpu.cli import test as cli_test
+
+    cfg = {
+        "experiment": "ycb_kf",
+        "output_dir": str(tmp_path / "out"),
+        "network": {"input_height": H, "input_width": W, "dtype": "float32",
+                    "fc_dim": 32, "with_flow": False, "with_mask": False},
+        "dataset": {"name": "ycb_video", "root": video_ds.root,
+                    "objects": OBJECTS, "obj_ids": [3, 7],
+                    "image_height": H, "image_width": W,
+                    "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                    "num_points": 64},
+        "test": {"test_iter": 1, "batch_size": 4, "renderer": "xla",
+                 "init": "perturb"},
+    }
+    cfg_path = str(tmp_path / "ycb.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    assert cli_test.main(["--cfg", cfg_path, "--save-poses"]) == 0
+
+    out = os.path.join(str(tmp_path / "out"), "ycb_kf")
+    with open(os.path.join(out, "eval_results.json")) as f:
+        results = json.load(f)
+    n_recs = len(keyframe_records(video_ds))
+    assert sum(r["n"] for r in results["per_class"].values()) == n_recs
+    # the YCB metric: AUC ADD(-S) present per class
+    for row in results["per_class"].values():
+        assert 0.0 <= row["auc_add(-s)"] <= 100.0
+
+    from deepim_tpu.eval.bop_results import read_bop_csv
+
+    bop = read_bop_csv(os.path.join(out, "bop_results.csv"))
+    assert len(bop["poses"]) == n_recs
+    assert set(bop["obj_ids"]) <= {3, 7}

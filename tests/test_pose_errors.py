@@ -63,6 +63,23 @@ def test_adds_matches_numpy_oracle():
     np.testing.assert_allclose(float(adds_error(pts, p1, p2)), oracle, rtol=1e-4)
 
 
+def test_adds_point_block_matches_full():
+    """Tiled ADD-S (bounded-memory eval path) == the full (N, N) matrix,
+    including when the block size does not divide the point count."""
+    pts = jax.random.normal(jax.random.PRNGKey(5), (4, 97, 3)) * 0.05
+    p1 = jnp.stack([
+        _pose(axangle2mat(jnp.array([1.0, 2, 3]), jnp.float32(0.1 * i)),
+              (0.01 * i, 0, 1.0))
+        for i in range(4)
+    ])
+    p2 = jnp.stack([_pose() for _ in range(4)])
+    full = np.asarray(adds_error(pts, p1, p2))
+    for blk in (16, 32, 97, 128):
+        tiled = np.asarray(adds_error(pts, p1, p2, point_block=blk))
+        # atol covers f32 noise near zero (i=0 is the identical-pose pair)
+        np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=2e-6)
+
+
 def test_rot_trans_errors():
     r = axangle2mat(jnp.array([0.0, 1, 0]), jnp.float32(np.radians(10)))
     p_est, p_gt = _pose(r, (0.0, 0.0, 1.05)), _pose()
