@@ -52,6 +52,12 @@ class NetworkConfig:
     # bottleneck to the full-resolution grid (models.flownet head_grid).
     coarse_height: int = 0
     coarse_width: int = 0
+    # MXNet symmetric conv padding (pad=k//2).  REQUIRED when running
+    # weights converted from reference MXNet checkpoints: XLA's SAME
+    # shifts the stride-2 encoder convs one pixel vs MXNet (proven in
+    # tests/test_convert_math.py).  Default off: self-trained SAME
+    # checkpoints stay loadable.
+    mxnet_pad: bool = False
 
 
 @dataclass
@@ -148,6 +154,14 @@ class DatasetConfig:
     # Zoo shape families to train on; empty = all.  Excluding the eval
     # shapes' families makes the protocol truly unseen-CATEGORY.
     zoo_families: tuple = ()
+    # Real CAD meshes for the ModelNet protocol: a directory of
+    # .off/.obj/.ply files.  When set (dataset.name == "modelnet"), the
+    # EVAL set loads every mesh in the directory (sorted by filename,
+    # normalized to cad_diameter meters) instead of procedural
+    # eval_objects — the reference's actual unseen-category ModelNet
+    # evaluation (SURVEY.md §2.3).
+    cad_dir: str = ""
+    cad_diameter: float = 0.15  # normalized CAD object diameter (m)
     image_height: int = 480
     image_width: int = 640
     # Default LINEMOD intrinsics (the reference's LM6d K).

@@ -18,6 +18,10 @@ from deepim_tpu.raster.mesh import (
     torus_mesh,
     PROCEDURAL_MESHES,
     load_ply,
+    load_obj,
+    load_off,
+    load_mesh,
+    normalize_mesh,
     save_ply,
     pad_mesh,
     decimate_mesh,

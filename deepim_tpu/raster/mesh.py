@@ -854,6 +854,272 @@ def save_ply(path: str, mesh: Mesh) -> None:
 
 
 # ---------------------------------------------------------------------------
+# OBJ (+MTL/texture) and OFF IO.  Reference parity: render_py.py
+# §Render_Py.__init__ loads textured .obj (YCB ships textured .obj next to
+# the .ply) and the ModelNet experiments consume .off CAD files
+# (SURVEY.md §2.2/§2.3).
+# ---------------------------------------------------------------------------
+
+
+def _parse_mtl(path: str) -> dict[str, dict]:
+    """Wavefront MTL -> {material: {"kd": (3,) f32, "map_kd": path|None}}."""
+    mats: dict[str, dict] = {}
+    cur = None
+    with open(path, errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "newmtl":
+                cur = parts[1] if len(parts) > 1 else ""
+                mats[cur] = {"kd": np.array([0.7, 0.7, 0.7], np.float32),
+                             "map_kd": None}
+            elif cur is not None and parts[0] == "Kd" and len(parts) >= 4:
+                mats[cur]["kd"] = np.asarray(parts[1:4], np.float32)
+            elif cur is not None and parts[0].lower() == "map_kd":
+                # texture filename may contain spaces; options (-s etc.)
+                # are rare in scan exports — take everything after the key
+                rel = line.split(None, 1)[1].strip()
+                cand = os.path.join(os.path.dirname(path), rel)
+                mats[cur]["map_kd"] = cand if os.path.exists(cand) else None
+    return mats
+
+
+def load_obj(path: str) -> Mesh:
+    """Wavefront .obj loader: v/vt/f (+ MTL diffuse color / texture map).
+
+    Covers the YCB-Video ``textured.obj`` convention (one texture map,
+    per-corner UVs).  Faces are fan-triangulated; (vertex, uv) corner
+    pairs are deduplicated into a unified vertex array so UVs live per
+    vertex (the raster pipeline's layout).  Texture colors are baked to
+    vertices (same policy as textured PLY); the uv/texture arrays are
+    kept on the mesh when exactly one texture map is used so the deferred
+    textured raster path can sample it.  Vertex-colored OBJ
+    (``v x y z r g b``, Meshlab extension) is honored.  Negative (relative)
+    indices per the OBJ spec are supported.
+    """
+    positions: list[list[float]] = []
+    vcolors: list[list[float]] = []
+    uvs: list[list[float]] = []
+    faces_raw: list[tuple[list[int], list[int | None], str | None]] = []
+    mtl: dict[str, dict] = {}
+    cur_mat: str | None = None
+
+    def _vidx(tok: str, n: int) -> int:
+        i = int(tok)
+        return i - 1 if i > 0 else n + i
+
+    with open(path, errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0]
+            if key == "v":
+                positions.append([float(x) for x in parts[1:4]])
+                if len(parts) >= 7:  # per-vertex color extension
+                    vcolors.append([float(x) for x in parts[4:7]])
+            elif key == "vt":
+                u = float(parts[1])
+                v = float(parts[2]) if len(parts) > 2 else 0.0
+                uvs.append([u, v])
+            elif key == "f":
+                vi, ti = [], []
+                for tok in parts[1:]:
+                    comps = tok.split("/")
+                    vi.append(_vidx(comps[0], len(positions)))
+                    ti.append(
+                        _vidx(comps[1], len(uvs))
+                        if len(comps) > 1 and comps[1] else None
+                    )
+                faces_raw.append((vi, ti, cur_mat))
+            elif key == "mtllib" and len(parts) > 1:
+                rel = line.split(None, 1)[1].strip()
+                mpath = os.path.join(os.path.dirname(path), rel)
+                if os.path.exists(mpath):
+                    mtl.update(_parse_mtl(mpath))
+            elif key == "usemtl":
+                cur_mat = parts[1] if len(parts) > 1 else None
+
+    if not positions:
+        raise ValueError(f"OBJ has no vertices: {path}")
+    pos = np.asarray(positions, np.float32)
+    uv_arr = np.asarray(uvs, np.float32) if uvs else None
+
+    # Unify (position, uv) corner pairs -> per-vertex UVs.
+    has_uv = uv_arr is not None and any(
+        t is not None for _, ti, _ in faces_raw for t in ti
+    )
+    corner_map: dict[tuple[int, int], int] = {}
+    out_pos: list[np.ndarray] = []
+    out_uv: list[np.ndarray] = []
+    out_src: list[int] = []  # original vertex index (for colors)
+    tris: list[tuple[int, int, int]] = []
+    tri_mat: list[str | None] = []
+
+    def _corner(v: int, t: int | None) -> int:
+        if not has_uv:
+            return v
+        key = (v, -1 if t is None else t)
+        idx = corner_map.get(key)
+        if idx is None:
+            idx = len(out_pos)
+            corner_map[key] = idx
+            out_pos.append(pos[v])
+            out_uv.append(uv_arr[t] if t is not None else np.zeros(2, np.float32))
+            out_src.append(v)
+        return idx
+
+    for vi, ti, mat in faces_raw:
+        corners = [_corner(v, t) for v, t in zip(vi, ti)]
+        for k in range(1, len(corners) - 1):
+            tris.append((corners[0], corners[k], corners[k + 1]))
+            tri_mat.append(mat)
+
+    faces = np.asarray(tris, np.int32).reshape(-1, 3)
+    if has_uv:
+        vertices = np.stack(out_pos)
+        uv_final = np.stack(out_uv)
+        src = np.asarray(out_src)
+    else:
+        vertices = pos
+        uv_final = None
+        src = np.arange(len(pos))
+
+    # Colors: vertex-color extension > texture bake > material Kd > gray.
+    if vcolors and len(vcolors) == len(positions):
+        colors = np.asarray(vcolors, np.float32)[src]
+        if colors.max() > 1.5:
+            colors = colors / 255.0
+    else:
+        colors = np.full((len(vertices), 3), 0.7, np.float32)
+
+    tex_paths = sorted({
+        m["map_kd"] for m in mtl.values() if m.get("map_kd")
+    })
+    texture = None
+    if tex_paths and uv_final is not None:
+        from PIL import Image
+
+        # Bake every referenced map; keep the texture array on the mesh
+        # only in the single-map case (the textured raster path samples
+        # one atlas slot per object).
+        for tp in tex_paths:
+            img = np.asarray(Image.open(tp).convert("RGB"))
+            mat_names = {n for n, m in mtl.items() if m.get("map_kd") == tp}
+            baked = bake_texture_to_vertices(uv_final, img)
+            verts_of = np.unique(faces[
+                np.asarray([m in mat_names for m in tri_mat], bool)
+            ])
+            colors[verts_of] = baked[verts_of]
+        if len(tex_paths) == 1:
+            texture = (np.asarray(
+                Image.open(tex_paths[0]).convert("RGB"), np.float32) / 255.0)
+    elif mtl and not vcolors:
+        for name, m in mtl.items():
+            verts_of = np.unique(faces[
+                np.asarray([mm == name for mm in tri_mat], bool)
+            ]) if any(mm == name for mm in tri_mat) else np.arange(0)
+            colors[verts_of] = m["kd"]
+
+    mesh = make_mesh(vertices, faces, colors)
+    if texture is not None:
+        mesh = Mesh(mesh.vertices, mesh.faces, mesh.colors, mesh.normals,
+                    uv=uv_final, texture=texture)
+    return mesh
+
+
+def load_off(path: str) -> Mesh:
+    """OFF/COFF loader (ModelNet CAD format).
+
+    Handles the ModelNet quirk of the counts glued to the magic
+    (``OFF490 430 980`` on one line), optional vertex colors (COFF), and
+    optional per-face trailing colors (``n i0..ik r g b [a]``, scattered
+    onto the face's vertices).  Faces are fan-triangulated.
+    """
+    with open(path, errors="replace") as f:
+        lines: list[list[str]] = []
+        magic = None
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if magic is None:
+                for m in ("COFF", "OFF"):
+                    if line.upper().startswith(m):
+                        magic = m
+                        line = line[len(m):].strip()  # glued-counts quirk
+                        break
+                else:
+                    raise ValueError(f"not an OFF file: {path}")
+                if not line:
+                    continue
+            lines.append(line.split())
+    if magic is None or not lines:
+        raise ValueError(f"truncated OFF file: {path}")
+    counts = lines[0]
+    nv, nf = int(counts[0]), int(counts[1])
+    if len(lines) < 1 + nv + nf:
+        raise ValueError(f"truncated OFF file: {path} "
+                         f"({len(lines) - 1} rows, need {nv + nf})")
+    has_vc = magic == "COFF"
+    vdata = np.asarray(lines[1 : 1 + nv], np.float64)
+    vertices = vdata[:, :3].astype(np.float32)
+    colors = None
+    if has_vc and vdata.shape[1] >= 6:
+        colors = vdata[:, 3:6].astype(np.float32)
+        if colors.max() > 1.5:
+            colors = colors / 255.0
+    tris: list[tuple[int, int, int]] = []
+    face_color: np.ndarray | None = None
+    for row in lines[1 + nv : 1 + nv + nf]:
+        cnt = int(row[0])
+        idx = [int(t) for t in row[1 : 1 + cnt]]
+        trailing = row[1 + cnt :]
+        if len(trailing) >= 3 and colors is None:
+            fc = np.asarray(trailing[:3], np.float32)
+            if fc.max() > 1.5:
+                fc = fc / 255.0
+            if face_color is None:
+                face_color = np.full((nv, 3), 0.7, np.float32)
+            face_color[idx] = fc
+        for k in range(1, cnt - 1):
+            tris.append((idx[0], idx[k], idx[k + 1]))
+    faces = np.asarray(tris, np.int32).reshape(-1, 3)
+    return make_mesh(vertices, faces,
+                     colors if colors is not None else face_color)
+
+
+def normalize_mesh(mesh: Mesh, diameter: float = 0.15) -> Mesh:
+    """Center at the bounding-box center and scale to ``diameter`` (m).
+
+    ModelNet CAD files are unitless and arbitrarily placed; the unseen-
+    category protocol renders them as real-world-scale objects, so CAD
+    ingestion normalizes first (reference toolkit rescales ModelNet
+    models the same way).
+    """
+    v = mesh.vertices
+    center = (v.max(0) + v.min(0)) / 2.0
+    v = v - center
+    d = mesh.diameter
+    scale = diameter / max(d, 1e-12)
+    return Mesh((v * scale).astype(np.float32), mesh.faces, mesh.colors,
+                mesh.normals, uv=mesh.uv, texture=mesh.texture)
+
+
+def load_mesh(path: str) -> Mesh:
+    """Extension-dispatched mesh loader: .ply, .obj (+MTL), .off."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ply":
+        return load_ply(path)
+    if ext == ".obj":
+        return load_obj(path)
+    if ext == ".off":
+        return load_off(path)
+    raise ValueError(f"unsupported mesh format {ext!r}: {path}")
+
+
+# ---------------------------------------------------------------------------
 # Static-shape utilities for batched on-device rendering.
 # ---------------------------------------------------------------------------
 
