@@ -44,20 +44,30 @@ def leaky(x):
 
 
 class Conv(nn.Module):
-    """Conv + LeakyReLU(0.1), SAME padding (FlowNetS style)."""
+    """Conv + LeakyReLU(0.1), SAME padding (FlowNetS style).
+
+    ``sym_pad`` switches to explicit symmetric padding ``k//2`` on both
+    sides — MXNet's convention.  For stride 1 (odd k) it is identical to
+    SAME; for the stride-2 encoder convs XLA's SAME splits the padding
+    (lo, hi) = (k//2 - 1, k//2), which mis-aligns taps by one pixel vs the
+    reference (proven by the lax-VJP oracle in tests/test_convert_math.py).
+    Converted MXNet weights need ``mxnet_pad=True`` on the model.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    sym_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
+        p = self.kernel // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)) if self.sym_pad else "SAME",
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
@@ -100,6 +110,7 @@ class StemConv(nn.Module):
     kernel: int = 7
     stride: int = 2
     dtype: Any = jnp.bfloat16
+    sym_pad: bool = False  # MXNet symmetric padding (see Conv)
 
     @nn.compact
     def __call__(self, x):
@@ -110,10 +121,16 @@ class StemConv(nn.Module):
         b_, h, w = x.shape[0], x.shape[1], x.shape[2]
         dt = self.dtype
         if ss == 2 and h % 2 == 0 and w % 2 == 0:
-            # SAME padding for even dims & stride 2: (lo, hi) = (k//2 - 1,
-            # k//2); pad hi one extra so the padded extent is even.
-            lo = kk // 2 - 1
-            hi = kk // 2 + (kk % 2)
+            if self.sym_pad:
+                # MXNet symmetric padding k//2; odd k makes the padded
+                # extent even already.
+                lo = hi = kk // 2
+            else:
+                # SAME padding for even dims & stride 2: (lo, hi) =
+                # (k//2 - 1, k//2); pad hi one extra so the padded extent
+                # is even.
+                lo = kk // 2 - 1
+                hi = kk // 2 + (kk % 2)
             kb = (kk + 1) // 2  # kernel extent in block space
             xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
             h2, w2 = (h + lo + hi) // 2, (w + lo + hi) // 2
@@ -129,8 +146,10 @@ class StemConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         else:  # odd input dims: plain path (identical math to nn.Conv)
+            p = kk // 2
             y = jax.lax.conv_general_dilated(
-                x.astype(dt), kernel.astype(dt), (ss, ss), "SAME",
+                x.astype(dt), kernel.astype(dt), (ss, ss),
+                [(p, p), (p, p)] if self.sym_pad else "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         return leaky(y + bias.astype(dt))
@@ -219,31 +238,43 @@ class DeepIMFlowNet(nn.Module):
     # loads its checkpoints unchanged.  None = plain flatten (the exact
     # reference head).
     head_grid: tuple | None = None
+    # MXNet symmetric conv padding (pad = k//2 both sides).  XLA's SAME
+    # splits stride-2 padding asymmetrically, shifting taps one pixel vs
+    # the reference's conv1/conv2/conv3 (proven: tests/test_convert_math).
+    # Set True when loading converted reference weights; False (default)
+    # keeps SAME for self-trained checkpoints' backward compatibility.
+    mxnet_pad: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pose_only: bool = False):
+        """``pose_only=True`` skips the flow/mask decoder entirely — the
+        refine loop only consumes the pose head, and the FlowNetS decoder
+        (5 deconv+predict stages) is train-time supervision, not inference
+        work.  Parameters are unaffected (the decoder branch is simply not
+        traced), so any checkpoint serves both modes."""
         dt = self.dtype
         x = x.astype(dt)
+        sp = self.mxnet_pad
 
         # --- FlowNetS encoder (channels per the public FlowNetS arch) ---
         if self.stem_s2d:
-            c1 = StemConv(64, 7, 2, dt, name="conv1")(x)  # 1/2
+            c1 = StemConv(64, 7, 2, dt, sp, name="conv1")(x)  # 1/2
         else:
-            c1 = Conv(64, 7, 2, dt, name="conv1")(x)  # 1/2
-        c2 = Conv(128, 5, 2, dt, name="conv2")(c1)  # 1/4
-        c3 = Conv(256, 5, 2, dt, name="conv3")(c2)  # 1/8
-        c3 = Conv(256, 3, 1, dt, name="conv3_1")(c3)
-        c4 = Conv(512, 3, 2, dt, name="conv4")(c3)  # 1/16
-        c4 = Conv(512, 3, 1, dt, name="conv4_1")(c4)
-        c5 = Conv(512, 3, 2, dt, name="conv5")(c4)  # 1/32
-        c5 = Conv(512, 3, 1, dt, name="conv5_1")(c5)
-        c6 = Conv(1024, 3, 2, dt, name="conv6")(c5)  # 1/64
-        c6 = Conv(1024, 3, 1, dt, name="conv6_1")(c6)
+            c1 = Conv(64, 7, 2, dt, sp, name="conv1")(x)  # 1/2
+        c2 = Conv(128, 5, 2, dt, sp, name="conv2")(c1)  # 1/4
+        c3 = Conv(256, 5, 2, dt, sp, name="conv3")(c2)  # 1/8
+        c3 = Conv(256, 3, 1, dt, sp, name="conv3_1")(c3)
+        c4 = Conv(512, 3, 2, dt, sp, name="conv4")(c3)  # 1/16
+        c4 = Conv(512, 3, 1, dt, sp, name="conv4_1")(c4)
+        c5 = Conv(512, 3, 2, dt, sp, name="conv5")(c4)  # 1/32
+        c5 = Conv(512, 3, 1, dt, sp, name="conv5_1")(c5)
+        c6 = Conv(1024, 3, 2, dt, sp, name="conv6")(c5)  # 1/64
+        c6 = Conv(1024, 3, 1, dt, sp, name="conv6_1")(c6)
 
         out: dict[str, Any] = {}
 
         # --- flow decoder (FlowNetS refinement stack) ---
-        if self.with_flow or self.with_mask:
+        if (self.with_flow or self.with_mask) and not pose_only:
             flows = {}
             feat = c6
             skips = {5: c5, 4: c4, 3: c3, 2: c2}

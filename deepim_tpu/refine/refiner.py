@@ -442,7 +442,9 @@ def refine_step(
                               obs_depth=obs_depth)
     k_zoom = ni.k_zoom
     with jax.named_scope("cnn"):
-        out = model.apply(variables, ni.x)
+        # pose_only skips the FlowNetS decoder (train-time aux heads) —
+        # ~40% of the CNN FLOPs the refine loop never consumes.
+        out = model.apply(variables, ni.x, pose_only=not keep_aux)
     with jax.named_scope("compose"):
         quat = decode_rot(select_class(out["rot_raw"], class_idx),
                           model.rot_type)

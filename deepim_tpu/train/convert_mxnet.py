@@ -7,12 +7,18 @@ callback) with FlowNetS layer names.  This module maps those tensors onto
 
 - conv weights: MXNet OIHW -> flax HWIO
 - deconv (MXNet ``Deconvolution``) weights: MXNet IOHW -> flax ConvTranspose
-  HWIO.  NOTE: MXNet's deconv is the gradient of conv wrt input, which
-  equals flax's ``ConvTranspose`` with the kernel spatially flipped;
-  ``flip_deconv=True`` (default) applies that flip.  Verify against real
-  reference weights before trusting parity numbers (none are available in
-  this sandbox — the unit tests cover the layout round-trip only).
+  HWIO with the kernel spatially flipped (``flip_deconv=True``, default).
+  MXNet's deconv is BY DEFINITION the gradient of conv wrt input;
+  ``tests/test_convert_math.py`` proves the flipped conversion reproduces
+  that semantics exactly (via a ``jax.vjp``-of-strided-conv oracle), so no
+  real reference weights are needed to trust it.
 - FC weights: MXNet (out, in) -> flax (in, out).
+
+PADDING CAVEAT (also proven in test_convert_math): MXNet pads convs
+symmetrically (``pad=k//2``); XLA's SAME splits stride-2 padding
+(k//2-1, k//2), shifting conv1/conv2/conv3 taps one pixel.  Models
+running converted reference weights must be built with
+``DeepIMFlowNet(mxnet_pad=True)`` (cfg ``network.mxnet_pad``).
 
 Input format: since MXNet isn't installed here, the loader takes a ``.npz``
 (numpy archive of the same ``arg:name`` keys — the standard way reference

@@ -64,6 +64,7 @@ def make_model(cfg: Config, num_classes: int) -> DeepIMFlowNet:
         fc_dim=n.fc_dim,
         input_mask=n.input_mask,
         input_depth=n.input_depth,
+        mxnet_pad=n.mxnet_pad,
         dtype=jnp.bfloat16 if n.dtype == "bfloat16" else jnp.float32,
         # Pin the flatten head to the full-resolution bottleneck grid so
         # the same checkpoint serves coarse-resolution refine iterations

@@ -219,6 +219,23 @@ def test_stem_s2d_odd_dims_fallback():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pose_only_skips_decoder_same_pose_outputs():
+    """pose_only=True (the refine-loop fast path) must produce bit-equal
+    pose head outputs while omitting the flow/mask heads."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=True, with_mask=True, fc_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, H, W, 6))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(variables, x)
+    fast = model.apply(variables, x, pose_only=True)
+    assert "flow" in full and "mask_logit" in full
+    assert "flow" not in fast and "mask_logit" not in fast
+    np.testing.assert_array_equal(np.asarray(fast["rot_raw"]),
+                                  np.asarray(full["rot_raw"]))
+    np.testing.assert_array_equal(np.asarray(fast["trans"]),
+                                  np.asarray(full["trans"]))
+
+
 def test_euler_rot_type_end_to_end():
     """network.rot_type=euler (reference ROT_TYPE): 3-dim rot head,
     zero-init decodes to the identity quaternion, and a known triplet
