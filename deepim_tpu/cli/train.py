@@ -44,7 +44,34 @@ def load_assets_and_names(cfg, eval_set: bool = False):
     d = cfg.dataset
     names = list(d.eval_objects) if eval_set and d.eval_objects else \
         list(d.objects)
-    if d.name == "modelnet" and not (eval_set and d.eval_objects):
+    if d.name == "modelnet" and eval_set and d.cad_dir:
+        # Real CAD evaluation set: every mesh file in cad_dir (ModelNet
+        # .off, or .obj/.ply), normalized to metric scale.  This is the
+        # reference's actual unseen-category protocol once real ModelNet
+        # assets are present.
+        import numpy as np  # noqa: F811 — function-local import style
+
+        from deepim_tpu.raster.mesh import (
+            decimate_mesh, load_mesh, normalize_mesh,
+        )
+
+        files = sorted(
+            fn for fn in os.listdir(d.cad_dir)
+            if os.path.splitext(fn)[1].lower() in (".off", ".obj", ".ply")
+        )
+        if not files:
+            raise SystemExit(f"dataset.cad_dir={d.cad_dir!r} contains no "
+                             ".off/.obj/.ply mesh files")
+        names = [os.path.splitext(fn)[0] for fn in files]
+        meshes = [
+            decimate_mesh(
+                normalize_mesh(load_mesh(os.path.join(d.cad_dir, fn)),
+                               d.cad_diameter),
+                d.max_faces,
+            )
+            for fn in files
+        ]
+    elif d.name == "modelnet" and not (eval_set and d.eval_objects):
         # ModelNet protocol: train on a randomized procedural shape zoo.
         from deepim_tpu.raster.mesh import ZOO_FAMILIES, random_mesh_zoo
 
@@ -180,9 +207,16 @@ def main(argv=None):
         from deepim_tpu.data.pairs import perturb_poses
         from deepim_tpu.train import make_train_step
 
+        from deepim_tpu.parallel import process_local_batch_size
+
         ds_disk = LM6DDataset(d.root, names)
-        batcher = TrainBatcher(ds_disk, names, cfg.train.batch_size,
-                               seed=cfg.train.seed)
+        # Multi-host: each process loads its own roidb shard and feeds its
+        # local slice of the global batch (single process: no-op).
+        batcher = TrainBatcher(ds_disk, names,
+                               process_local_batch_size(cfg.train.batch_size),
+                               seed=cfg.train.seed,
+                               num_shards=jax.process_count(),
+                               shard_index=jax.process_index())
         disk_step = make_train_step(model, assets, cfg, mesh=mesh)
         print(f"on-disk training: {batcher.num_records} frames, "
               f"syn_fraction={cfg.train.syn_fraction}")

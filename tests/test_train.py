@@ -139,6 +139,7 @@ def test_synthetic_batch_contents(assets):
 # --- train step --------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_compute_losses_finite(assets):
     cfg = tiny_cfg()
     model = make_model(cfg, assets.num_classes)
@@ -152,6 +153,7 @@ def test_compute_losses_finite(assets):
     assert "pm_loss_0" in metrics and "flow_loss_0" in metrics
 
 
+@pytest.mark.slow
 def test_separate_pose_loss(assets):
     """train.pose_loss=separate: direct L1 on the untangled delta (the
     reference's alternative loss wiring) is finite and carries gradient."""
@@ -285,6 +287,7 @@ def test_normalize_depth():
                                [[0.0, -0.5], [0.0, 1.0]], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_and_iterative(assets):
     cfg = tiny_cfg(train_iter=2)
     model = make_model(cfg, assets.num_classes)
@@ -303,6 +306,7 @@ def test_train_step_and_iterative(assets):
     assert sum(float(np.abs(a - b).sum()) for a, b in zip(before, after)) > 0
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single(assets):
     """8-way DP on the CPU mesh == single-device step on the same batch."""
     cfg = tiny_cfg()
@@ -326,6 +330,7 @@ def test_sharded_step_matches_single(assets):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_synthetic_train_step_sharded(assets):
     cfg = tiny_cfg()
     model = make_model(cfg, assets.num_classes)
@@ -336,6 +341,7 @@ def test_synthetic_train_step_sharded(assets):
     assert int(state.step) == 1 and np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(assets, tmp_path):
     from deepim_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
@@ -453,6 +459,7 @@ def test_micro_overfit(assets):
     assert min(rot_errs) < rot_errs[0] * 0.7, rot_errs[::20]
 
 
+@pytest.mark.slow
 def test_gspmd_tp_step_matches_single(assets):
     """GSPMD DP+TP ((4, 2) mesh, pose-head FCs sharded over 'model') gives
     the same loss and updated params as the single-device step."""
@@ -481,6 +488,7 @@ def test_gspmd_tp_step_matches_single(assets):
         np.testing.assert_allclose(a, np.asarray(b), rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_class_agnostic_unseen_objects(assets):
     """ModelNet protocol: a class-agnostic net trained on one object set
     refines objects with class indices it never saw (single shared head)."""
