@@ -98,13 +98,14 @@ def load_assets_and_names(cfg, eval_set: bool = False):
 
         ds = LM6DDataset(d.root, names)
         meshes = ds.load_meshes(max_faces=d.max_faces)
-    # zoo cylinders/tori are z-symmetric like their canonical versions
-    from deepim_tpu.geometry.symmetry import rot_z_syms
+    # zoo cylinders/tori are CONTINUOUSLY z-symmetric like their canonical
+    # versions (closed-form min in the PM loss; dense discrete in metrics)
+    from deepim_tpu.geometry.symmetry import CONTINUOUS_Z
 
     def sym_for(n):
         if n.startswith(("zoo_cyl", "zoo_torus", "zoo_cone", "zoo_capsule",
                          "zoo_frustum", "zoo_tube")):
-            return rot_z_syms(16)
+            return CONTINUOUS_Z
         return sym_table.get(n)
 
     syms = [sym_for(n) for n in names]

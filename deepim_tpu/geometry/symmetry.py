@@ -13,6 +13,17 @@ from __future__ import annotations
 import numpy as np
 
 
+# Sentinel for sym_transforms entries: CONTINUOUS rotational symmetry
+# about object z.  Carriers get (a) a dense discrete set (rot_z_syms(16))
+# in sym_poses for metric consumers, and (b) a per-class flag so the PM
+# loss uses the closed-form optimal-angle min instead of the discrete
+# approximation (the reference's bowl-class ADD-S semantics, exactly).
+CONTINUOUS_Z = "continuous_z"
+
+#: discrete stand-in resolution for continuous-z classes in sym_poses
+CONTINUOUS_Z_DISCRETE = 16
+
+
 def identity_pose() -> np.ndarray:
     return np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1).astype(np.float32)
 
@@ -28,12 +39,16 @@ def rot_z_syms(n: int) -> np.ndarray:
     return np.asarray(out, np.float32)
 
 
-def sym_set(transforms: np.ndarray | None, max_syms: int) -> np.ndarray:
+def sym_set(transforms, max_syms: int) -> np.ndarray:
     """Pad a symmetry set to (max_syms, 3, 4) by repeating identity.
 
     ``None`` means asymmetric -> all-identity set (the min over the set is
-    then exactly the plain loss/metric).
+    then exactly the plain loss/metric).  ``CONTINUOUS_Z`` expands to the
+    dense discrete stand-in (metric consumers; the PM loss additionally
+    uses the closed-form continuous min via the per-class flag).
     """
+    if isinstance(transforms, str) and transforms == CONTINUOUS_Z:
+        transforms = rot_z_syms(CONTINUOUS_Z_DISCRETE)
     base = identity_pose()[None] if transforms is None else np.asarray(
         transforms, np.float32
     )
@@ -46,16 +61,16 @@ def sym_set(transforms: np.ndarray | None, max_syms: int) -> np.ndarray:
 # Discrete approximations used by LINEMOD evaluation: eggbox and glue are
 # treated as 2-fold symmetric about z (180°) in the standard protocol.
 LINEMOD_SYMMETRIC = {"eggbox": rot_z_syms(2), "glue": rot_z_syms(2)}
-# Procedural test objects: the torus and cylinder are visually symmetric
-# about z (colors vary only radially / by ring); the icosphere's
+# Procedural test objects: torus/cylinder/cone/capsule are CONTINUOUSLY
+# symmetric about z (colors vary only radially / by ring); the icosphere's
 # position-coded colors break its geometric symmetry, so it stays
 # asymmetric.
-PROCEDURAL_SYMMETRIC = {"torus": rot_z_syms(16), "cylinder": rot_z_syms(16),
-                        "cone": rot_z_syms(16), "capsule": rot_z_syms(16)}
-# YCB symmetric classes (evaluated with ADD-S in the reference); continuous
-# symmetries (bowl) are approximated by a dense discrete set.
+PROCEDURAL_SYMMETRIC = {"torus": CONTINUOUS_Z, "cylinder": CONTINUOUS_Z,
+                        "cone": CONTINUOUS_Z, "capsule": CONTINUOUS_Z}
+# YCB symmetric classes (evaluated with ADD-S in the reference); the bowl
+# is continuously z-symmetric, the rest are discrete.
 YCB_SYMMETRIC = {
-    "024_bowl": rot_z_syms(16),
+    "024_bowl": CONTINUOUS_Z,
     "036_wood_block": rot_z_syms(2),
     "051_large_clamp": rot_z_syms(2),
     "052_extra_large_clamp": rot_z_syms(2),

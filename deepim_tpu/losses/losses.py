@@ -26,6 +26,41 @@ from deepim_tpu.geometry.se3 import se3_mul, transform_points
 FLOW_LEVEL_WEIGHTS = {6: 0.32, 5: 0.08, 4: 0.04, 3: 0.02, 2: 0.01}
 
 
+def _optimal_z_angle(points: jax.Array, p_est: jax.Array,
+                     pose_tgt: jax.Array) -> jax.Array:
+    """Closed-form optimal rotation angle about object z -> (B,).
+
+    For a continuously z-symmetric object the symmetry-aware target is
+    pose_tgt ∘ Rz(θ*) with θ* minimizing Σ‖p_est − (R_t Rz(θ) x + t_t)‖².
+    Writing w = R_tᵀ(p_est − t_t) (estimated points in the target object
+    frame), the z components are θ-independent and the xy part is a 2D
+    Procrustes problem: maximize A cosθ + B sinθ with
+    A = Σ(w_x x_x + w_y x_y), B = Σ(w_y x_x − w_x x_y) → θ* = atan2(B, A).
+    Fully differentiable (atan2), so gradients flow through the angle.
+    """
+    r_t = pose_tgt[..., :3]
+    t_t = pose_tgt[..., 3][..., None, :]  # (B, 1, 3)
+    w = jnp.einsum("...ji,...nj->...ni", r_t, p_est - t_t)  # R_tᵀ(p_est−t)
+    x = points
+    a = jnp.sum(w[..., 0] * x[..., 0] + w[..., 1] * x[..., 1], axis=-1)
+    b = jnp.sum(w[..., 1] * x[..., 0] - w[..., 0] * x[..., 1], axis=-1)
+    return jnp.arctan2(b, a)
+
+
+def _rz_pose(theta: jax.Array) -> jax.Array:
+    """(B,) angles -> (B, 3, 4) object-frame z-rotation transforms."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    r = jnp.stack([
+        jnp.stack([c, -s, z], -1),
+        jnp.stack([s, c, z], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+    return jnp.concatenate([r, jnp.zeros(theta.shape + (3, 1), theta.dtype)],
+                           -1)
+
+
 def point_matching_loss(
     points: jax.Array,  # (B, N, 3) per-sample model points (object frame)
     delta: DeltaPose,  # predicted untangled delta (B-batched)
@@ -33,6 +68,7 @@ def point_matching_loss(
     pose_tgt: jax.Array,  # (B, 3, 4)
     k: jax.Array,  # (B, 3, 3) intrinsics the delta is expressed in
     sym_poses: jax.Array | None = None,  # (B, S, 3, 4) object symmetries
+    sym_continuous: jax.Array | None = None,  # (B,) bool: continuous-z
 ) -> jax.Array:
     """Mean-L1 point-matching loss, per sample -> (B,).
 
@@ -40,6 +76,13 @@ def point_matching_loss(
     identity): the target pose set is {pose_tgt ∘ G_s}; the loss is the min
     over s — the differentiable analogue of evaluating symmetric classes
     with ADD-S (reference handles eggbox/glue this way).
+
+    ``sym_continuous`` flags samples whose object is CONTINUOUSLY
+    z-symmetric (YCB bowl, cylinders): for those the loss additionally
+    evaluates the closed-form L2-optimal rotation angle about z
+    (:func:`_optimal_z_angle`) and takes the min with the discrete set —
+    exact continuous-symmetry semantics instead of a 16-fold
+    approximation.
     """
     pose_est = apply_delta(pose_src, delta, k)
     p_est = transform_points(points, pose_est[..., :3], pose_est[..., 3])
@@ -53,7 +96,12 @@ def point_matching_loss(
         return dist_to(pose_tgt)
     tgt_syms = se3_mul(pose_tgt[..., None, :, :], sym_poses)  # (B, S, 3, 4)
     d = jax.vmap(dist_to, in_axes=-3, out_axes=-1)(tgt_syms)  # (B, S)
-    return jnp.min(d, axis=-1)
+    d = jnp.min(d, axis=-1)
+    if sym_continuous is not None:
+        theta = _optimal_z_angle(points, p_est, pose_tgt)
+        d_cont = dist_to(se3_mul(pose_tgt, _rz_pose(theta)))
+        d = jnp.where(sym_continuous, jnp.minimum(d, d_cont), d)
+    return d
 
 
 def _downsample_flow(flow: jax.Array, valid: jax.Array, factor: int):

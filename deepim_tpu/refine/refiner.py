@@ -72,6 +72,10 @@ class RenderAssets(NamedTuple):
     # deferred pass indexes the atlas per sample instead of materializing
     # (B, Th, Tw, 3) gathered copies in HBM.
     tex_idx: jax.Array | None = None  # (C,) -> per-sample (B,) after gather
+    # Per-class CONTINUOUS z-symmetry flag (symmetry.CONTINUOUS_Z): the PM
+    # loss takes the closed-form min over the continuous rotation instead
+    # of (only) the discrete sym_poses set.
+    sym_continuous: jax.Array | None = None  # (C,) bool
 
     @property
     def num_classes(self) -> int:
@@ -96,15 +100,23 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
     """
     import numpy as np
 
-    from deepim_tpu.geometry.symmetry import sym_set
+    from deepim_tpu.geometry.symmetry import (
+        CONTINUOUS_Z, CONTINUOUS_Z_DISCRETE, sym_set,
+    )
     from deepim_tpu.ops.zoom import model_corners
     from deepim_tpu.raster.mesh import pad_mesh, sample_points
 
     sym_transforms = sym_transforms or [None] * len(meshes)
+    sym_cont = np.asarray(
+        [isinstance(s, str) and s == CONTINUOUS_Z for s in sym_transforms]
+    )
     mv = max_vertices or max(m.num_vertices for m in meshes)
     mf = max_faces or max(m.num_faces for m in meshes)
     ms = max_syms or max(
-        (1 if s is None else s.shape[0]) for s in sym_transforms
+        (1 if s is None
+         else CONTINUOUS_Z_DISCRETE if isinstance(s, str)
+         else s.shape[0])
+        for s in sym_transforms
     )
     padded = [pad_mesh(m, mv + 1, mf) for m in meshes]  # +1 pad vertex
     pts = [sample_points(m, num_points) for m in meshes]
@@ -135,6 +147,7 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
         tri_nrm=jnp.asarray(np.stack(
             [p.normals[p.faces].reshape(-1, 9).T for p in padded]
         )),
+        sym_continuous=jnp.asarray(sym_cont),
         **_texture_fields(meshes, padded, use_textures),
     )
 

@@ -162,6 +162,8 @@ def compute_losses(
             pm = point_matching_loss(
                 ab.points, delta, pose_src, pose_tgt, kz,
                 sym_poses=ab.sym_poses if t.sym_aware_pm else None,
+                sym_continuous=(ab.sym_continuous
+                                if t.sym_aware_pm else None),
             )
             loss_it = t.w_pm * jnp.mean(pm)
             metrics[f"pm_loss_{it}"] = jnp.mean(pm)

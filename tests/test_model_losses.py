@@ -133,6 +133,57 @@ def test_pm_loss_symmetry_min():
     assert float(loss_nosym[0]) > 1e-3
 
 
+def test_pm_loss_continuous_z_closed_form():
+    """Continuous z-symmetry (YCB bowl semantics): a target rotated by an
+    ARBITRARY angle about z (maximally off the 16-fold grid) costs ~zero
+    under the closed-form continuous min, while the discrete set leaves a
+    real residual — the measured loss-vs-metric gap the discretization
+    had.  Asymmetric samples in the same batch are unaffected."""
+    from deepim_tpu.geometry.se3 import se3_mul
+    from deepim_tpu.geometry.symmetry import CONTINUOUS_Z_DISCRETE
+    from deepim_tpu.losses.losses import _rz_pose
+
+    # a flat "bowl" ring: points on a circle + height -> truly z-symmetric
+    ang = jnp.linspace(0.0, 2 * np.pi, 64, endpoint=False)
+    ring = jnp.stack([0.08 * jnp.cos(ang), 0.08 * jnp.sin(ang),
+                      0.02 * jnp.cos(3 * ang) * 0], -1)
+    points = jnp.tile(ring[None], (2, 1, 1))
+    k = jnp.tile(jnp.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]),
+                 (2, 1, 1))
+    tgt = jnp.stack([_rand_pose(7), _rand_pose(8)])
+    # half a grid cell off the 16-fold set: the worst case for discrete
+    theta = np.pi / CONTINUOUS_Z_DISCRETE
+    rz = _rz_pose(jnp.full((2,), theta))
+    src = se3_mul(tgt, rz)
+    ident = DeltaPose(jnp.tile(jnp.array([1.0, 0, 0, 0]), (2, 1)),
+                      jnp.zeros((2, 3)))
+    sym = jnp.tile(jnp.asarray(sym_set(rot_z_syms(CONTINUOUS_Z_DISCRETE),
+                                       CONTINUOUS_Z_DISCRETE))[None],
+                   (2, 1, 1, 1))
+
+    d_disc = point_matching_loss(points, ident, src, tgt, k, sym_poses=sym)
+    d_cont = point_matching_loss(points, ident, src, tgt, k, sym_poses=sym,
+                                 sym_continuous=jnp.array([True, True]))
+    assert float(d_disc.min()) > 1e-3  # the 16-fold gap is real
+    np.testing.assert_allclose(np.asarray(d_cont), 0.0, atol=1e-6)
+
+    # flag off -> unchanged (asymmetric samples keep the discrete loss)
+    d_off = point_matching_loss(points, ident, src, tgt, k, sym_poses=sym,
+                                sym_continuous=jnp.array([False, False]))
+    np.testing.assert_allclose(np.asarray(d_off), np.asarray(d_disc))
+
+    # gradients flow through the closed-form angle
+    def f(q):
+        d = DeltaPose(q, jnp.zeros((2, 3)))
+        return jnp.sum(point_matching_loss(
+            points, d, src, tgt, k, sym_poses=sym,
+            sym_continuous=jnp.array([True, True])))
+
+    g = jax.grad(f)(jnp.tile(jnp.array([1.0, 0.02, 0, 0]), (2, 1)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
 def test_flow_epe_loss_oracle():
     b, h, w = 1, 16, 16
     gt = jnp.ones((b, h, w, 2)) * 2.0
