@@ -21,6 +21,7 @@ Key proven facts:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -183,6 +184,7 @@ def test_two_layer_fixture_net_golden():
     np.testing.assert_allclose(np.asarray(_nchw(out)), oracle, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_mxnet_roundtrip_with_pad_mode():
     """Export a tiny mxnet_pad model's weights to MXNet layout, convert
     back, and check identical outputs — the converter + pad mode

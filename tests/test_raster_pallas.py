@@ -152,6 +152,7 @@ def test_new_zoo_families_render():
     assert all(n.startswith(("zoo_cone", "zoo_capsule")) for n in zoo)
 
 
+@pytest.mark.slow
 def test_extended_zoo_families_render():
     # prism/star/frustum/tube/lshape (the dense unseen-category zoo):
     # valid closed meshes agreeing with the oracle; tube has a through-hole.

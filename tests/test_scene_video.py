@@ -66,6 +66,7 @@ def test_render_scene_valid_mask(assets):
     assert float(d_all[0, H // 2, W // 2]) < 0.65
 
 
+@pytest.mark.slow
 def test_synthetic_occlusion_batch(assets):
     batch = synthetic_occlusion_batch(
         jax.random.PRNGKey(0), assets, 4, K_CAM, (H, W),
@@ -101,6 +102,7 @@ def test_refine_video_shapes(assets):
     np.testing.assert_allclose(out[-1], init, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_refine_video_obs_depth_plumbed(assets):
     """input_depth tracking consumes the per-frame observed depth stream
     (not the rendered fallback): different depths -> different outputs."""
@@ -131,6 +133,7 @@ def test_refine_video_obs_depth_plumbed(assets):
     assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-7
 
 
+@pytest.mark.slow
 def test_mxnet_converter_roundtrip():
     from deepim_tpu.train.convert_mxnet import (
         convert_mxnet_dict, export_flax_to_mxnet_npz, load_mxnet_npz,

@@ -52,6 +52,7 @@ def _requests(svc, n, seed):
             np.asarray(b["class_idx"]), np.asarray(b["pose_tgt"]))
 
 
+@pytest.mark.slow
 def test_refine_shapes_and_padding(service):
     obs, init, ks, cls, _ = _requests(service, 3, 0)  # n < batch: pads
     out = service.refine(obs, init, ks, cls)
@@ -160,6 +161,7 @@ def test_close_fails_pending_and_rejects_new_requests():
     assert isinstance(f.exception(timeout=1), RuntimeError)
 
 
+@pytest.mark.slow
 def test_input_depth_model_requires_and_uses_obs_depth():
     """A checkpoint trained with input_depth must be served with observed
     depth — refine() rejects its absence and matches the direct call."""

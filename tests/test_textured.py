@@ -5,6 +5,7 @@ Reference parity target: the GLSL texture-sampling fragment shader in
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from deepim_tpu.raster import (
@@ -172,6 +173,7 @@ def test_atlas_sampling_matches_per_sample():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_textured_assets_refine_loop():
     """build_assets auto-builds the texture atlas (mixed-size textures,
     one untextured mesh) and the refine loop renders through the deferred
@@ -331,6 +333,7 @@ def test_cfg_texture_prob_builds_textured_assets():
     assert names == ["box", "cylinder"]
 
 
+@pytest.mark.slow
 def test_render_scene_textured_matches_per_object_merge():
     """Textured render_scene == per-object textured render_crops + z-merge:
     the stacked-band UV remap must sample each slot's own texture, with
