@@ -68,11 +68,19 @@ LINEMOD_SYMMETRIC = {"eggbox": rot_z_syms(2), "glue": rot_z_syms(2)}
 PROCEDURAL_SYMMETRIC = {"torus": CONTINUOUS_Z, "cylinder": CONTINUOUS_Z,
                         "cone": CONTINUOUS_Z, "capsule": CONTINUOUS_Z}
 # YCB symmetric classes (evaluated with ADD-S in the reference); the bowl
-# is continuously z-symmetric, the rest are discrete.
+# is continuously z-symmetric, the rest are discrete.  Both YCB naming
+# conventions are listed: the numbered release directories (024_bowl) and
+# the bare class names the experiment configs use (bowl).
+_YCB_SYMS = {
+    "bowl": CONTINUOUS_Z,
+    "wood_block": rot_z_syms(2),
+    "large_clamp": rot_z_syms(2),
+    "extra_large_clamp": rot_z_syms(2),
+    "foam_brick": rot_z_syms(2),
+}
+_YCB_PREFIX = {"bowl": "024", "wood_block": "036", "large_clamp": "051",
+               "extra_large_clamp": "052", "foam_brick": "061"}
 YCB_SYMMETRIC = {
-    "024_bowl": CONTINUOUS_Z,
-    "036_wood_block": rot_z_syms(2),
-    "051_large_clamp": rot_z_syms(2),
-    "052_extra_large_clamp": rot_z_syms(2),
-    "061_foam_brick": rot_z_syms(2),
+    **_YCB_SYMS,
+    **{f"{_YCB_PREFIX[n]}_{n}": s for n, s in _YCB_SYMS.items()},
 }

@@ -92,9 +92,28 @@ def main() -> int:
     )
     path = os.path.join(out_dir, "ycb_video.yaml")
     with open(path, "w") as f:
-        f.write("# YCB-Video protocol: 21 textured objects, keyframe eval, "
-                "PoseCNN inits.\n")
+        f.write("# YCB-Video protocol: 21 textured objects, LM6d-layout "
+                "on-disk training\n# (convert the release via data/bop.py).\n")
         yaml.safe_dump(ycb, f, sort_keys=False)
+    written.append(path)
+
+    # Keyframe evaluation protocol: the released video_sets/keyframe.txt
+    # list, per-(keyframe, object) batched refinement, PoseCNN inits via
+    # --posecnn-mat <results_dir> or --init-poses <bop.csv>, AUC tables.
+    kf = base_cfg("ycb_keyframe", YCB_CLASSES, "data/YCB_Video")
+    kf["dataset"]["name"] = "ycb_video"
+    kf["dataset"]["use_textures"] = "on"
+    kf["dataset"].update(
+        {"fx": 1066.778, "fy": 1067.487, "cx": 312.9869, "cy": 241.3109}
+    )
+    kf["test"]["init"] = "posecnn"
+    path = os.path.join(out_dir, "ycb_keyframe.yaml")
+    with open(path, "w") as f:
+        f.write("# YCB-Video KEYFRAME eval protocol (reference keyframe.txt "
+                "+ PoseCNN inits):\n"
+                "# python -m deepim_tpu.cli.test --cfg <this> "
+                "--posecnn-mat <results_dir>\n")
+        yaml.safe_dump(kf, f, sort_keys=False)
     written.append(path)
 
     print(f"wrote {len(written)} configs under {out_dir}")
