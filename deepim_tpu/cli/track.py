@@ -24,6 +24,11 @@ def parse_args(argv=None):
     p.add_argument("--objects-per-seq", type=int, default=1,
                    help="objects per generated sequence (1 = LM6d-style "
                         "single-object tracking; 0 = all, YCB-style)")
+    p.add_argument("--window", type=int, default=64,
+                   help="frames streamed per tracking window — real "
+                        "sequences run to thousands of frames (tens of GB "
+                        "as one device array); windows carry the pose "
+                        "across boundaries with identical results")
     p.add_argument("--label-ids", choices=("slot", "global"),
                    default="slot",
                    help="label.png pixel convention: 'slot' = 1 + object "
@@ -80,66 +85,87 @@ def main(argv=None):
                       objects_per_sequence=args.objects_per_seq or None)
     ds = VideoDataset(root, names)
 
+    renderer = (cfg.test.renderer
+                if jax.devices()[0].platform == "tpu" else "xla")
     all_est, all_gt, all_cls = [], [], []
     for seq in ds.sequences():
-        data = ds.load_sequence(seq,
-                                with_depths=cfg.network.input_depth,
-                                with_labels=cfg.network.input_mask)
-        frames = jnp.asarray(data["frames"])[:, None].repeat(
-            len(data["class_idx"]), axis=1
-        )  # (T, M, H, W, 3): every tracked object sees the full frame
-        init = ds.init_poses(seq)
-        init = jnp.asarray(init if init is not None else data["poses"][0])
-        cls = jnp.asarray(data["class_idx"])
-        ks = jnp.tile(jnp.asarray(k_np)[None], (cls.shape[0], 1, 1))
-        obs_depths = None
-        if cfg.network.input_depth:
-            # input_depth checkpoints must track with the recorded depth
-            # stream, not the rendered-depth fallback.
-            if data["depths"] is not None:
-                obs_depths = jnp.asarray(data["depths"])[:, None].repeat(
-                    cls.shape[0], axis=1)
+        n_frames = len(ds.frame_ids(seq))
+        win = max(args.window, 1)
+        cls = ks = None
+        carry_pose = None  # pose carried across window boundaries
+        t_total = m = 0
+        for w0 in range(0, n_frames, win):
+            # Stream one window from disk — frames are shared across the
+            # M tracked objects (refine_video broadcasts per step; no
+            # M-fold copy, no whole-sequence device array).
+            data = ds.load_sequence(seq,
+                                    with_depths=cfg.network.input_depth,
+                                    with_labels=cfg.network.input_mask,
+                                    start=w0, count=win)
+            frames = jnp.asarray(data["frames"])  # (T, H, W, 3) shared
+            if cls is None:
+                cls = jnp.asarray(data["class_idx"])
+                ks = jnp.tile(jnp.asarray(k_np)[None],
+                              (cls.shape[0], 1, 1))
+            if carry_pose is None:
+                init = ds.init_poses(seq)
+                init = jnp.asarray(init if init is not None
+                                   else data["poses"][0])
             else:
-                print(f"WARNING: seq {seq} has no depth stream; "
-                      "input_depth model falls back to rendered depth")
-        obs_masks = None
-        if cfg.network.input_mask:
-            # same train/test contract for the observed-mask channel:
-            # per-object masks from the recorded label stream (pixel ids
-            # per --label-ids), or warn on fallback.
-            if data["labels"] is not None:
-                lab = jnp.asarray(data["labels"])  # (T, H, W)
-                if args.label_ids == "global":
-                    cls_np = np.asarray(cls)
-                    ids = jnp.asarray(
-                        np.asarray(list(d.obj_ids), np.int64)[cls_np]
-                        if d.obj_ids else cls_np + 1)
-                else:
-                    ids = jnp.arange(1, cls.shape[0] + 1)
-                obs_masks = (lab[:, None] ==
-                             ids[None, :, None, None]).astype(jnp.float32)
-                if not bool(obs_masks.any()):
-                    print(f"WARNING: seq {seq}: label stream matched no "
-                          f"pixels under the '{args.label_ids}' id "
-                          "convention — check --label-ids (slot vs "
-                          "global); the model is tracking with all-empty "
-                          "observed masks")
-            else:
-                print(f"WARNING: seq {seq} has no label stream; "
-                      "input_mask model falls back to rendered masks")
-        traj = refine_video(
-            state.params, model, assets, frames, init, ks, cls,
-            iters_first=args.iters_first, iters_rest=args.iters_rest,
-            out_size=out_size,
-            renderer=cfg.test.renderer
-            if jax.devices()[0].platform == "tpu" else "xla",
-            obs_depths=obs_depths, obs_masks=obs_masks,
-        )
-        t_frames, m = traj.shape[0], traj.shape[1]
-        all_est.append(np.asarray(traj).reshape(t_frames * m, 3, 4))
-        all_gt.append(np.asarray(data["poses"]).reshape(t_frames * m, 3, 4))
-        all_cls.append(np.tile(np.asarray(cls), t_frames))
-        print(f"seq {seq}: tracked {m} objects over {t_frames} frames")
+                init = carry_pose
+            obs_depths = None
+            if cfg.network.input_depth:
+                # input_depth checkpoints must track with the recorded
+                # depth stream, not the rendered-depth fallback.
+                if data["depths"] is not None:
+                    obs_depths = jnp.asarray(data["depths"])  # shared
+                elif w0 == 0:
+                    print(f"WARNING: seq {seq} has no depth stream; "
+                          "input_depth model falls back to rendered depth")
+            obs_masks = None
+            if cfg.network.input_mask:
+                # same train/test contract for the observed-mask channel:
+                # per-object masks from the recorded label stream (pixel
+                # ids per --label-ids), or warn on fallback.
+                if data["labels"] is not None:
+                    lab = jnp.asarray(data["labels"])  # (T, H, W)
+                    if args.label_ids == "global":
+                        cls_np = np.asarray(cls)
+                        ids = jnp.asarray(
+                            np.asarray(list(d.obj_ids), np.int64)[cls_np]
+                            if d.obj_ids else cls_np + 1)
+                    else:
+                        ids = jnp.arange(1, cls.shape[0] + 1)
+                    obs_masks = (lab[:, None] ==
+                                 ids[None, :, None, None]
+                                 ).astype(jnp.float32)
+                    if w0 == 0 and not bool(obs_masks.any()):
+                        print(f"WARNING: seq {seq}: label stream matched "
+                              f"no pixels under the '{args.label_ids}' id "
+                              "convention — check --label-ids (slot vs "
+                              "global); the model is tracking with "
+                              "all-empty observed masks")
+                elif w0 == 0:
+                    print(f"WARNING: seq {seq} has no label stream; "
+                          "input_mask model falls back to rendered masks")
+            traj = refine_video(
+                state.params, model, assets, frames, init, ks, cls,
+                # the big-init-error budget applies to frame 0 only;
+                # later windows continue from the carried pose
+                iters_first=(args.iters_first if w0 == 0
+                             else args.iters_rest),
+                iters_rest=args.iters_rest,
+                out_size=out_size, renderer=renderer,
+                obs_depths=obs_depths, obs_masks=obs_masks,
+            )
+            carry_pose = traj[-1]
+            t_w, m = traj.shape[0], traj.shape[1]
+            t_total += t_w
+            all_est.append(np.asarray(traj).reshape(t_w * m, 3, 4))
+            all_gt.append(np.asarray(data["poses"]).reshape(t_w * m, 3, 4))
+            all_cls.append(np.tile(np.asarray(cls), t_w))
+        print(f"seq {seq}: tracked {m} objects over {t_total} frames "
+              f"({-(-n_frames // win)} windows)")
 
     est = np.concatenate(all_est)
     gt = np.concatenate(all_gt)

@@ -63,16 +63,24 @@ class VideoDataset:
         return np.loadtxt(path, dtype=np.float32).reshape(-1, 3, 4)
 
     def load_sequence(self, seq: str, with_depths: bool = True,
-                      with_labels: bool = True) -> dict:
+                      with_labels: bool = True, start: int = 0,
+                      count: int | None = None) -> dict:
         """-> frames (T, H, W, 3) f32, depths (T, H, W) metric (or None),
         poses (T, M, 3, 4), class_idx (M,).
 
         ``with_depths``/``with_labels`` skip decoding those streams (the
         caller doesn't need them — e.g. tracking with a model that takes
         neither depth nor mask inputs); a skipped stream loads as None.
+        ``start``/``count`` load a frame WINDOW — real sequences run to
+        thousands of frames (a whole YCB video is tens of GB as f32), so
+        tracking streams windows instead of materializing the sequence.
         """
         objs = self.objects_in(seq)
         fids = self.frame_ids(seq)
+        if count is not None:
+            fids = fids[start : start + count]
+        elif start:
+            fids = fids[start:]
         frames, depths, labels, poses = [], [], [], []
         for fid in fids:
             rgb = LM6DDataset._read_image(

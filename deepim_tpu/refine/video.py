@@ -27,7 +27,7 @@ def refine_video(
     variables,
     model,
     assets: RenderAssets,
-    frames: jax.Array,  # (T, B, H, W, 3) video frames (B objects tracked)
+    frames: jax.Array,  # (T, B, H, W, 3) frames — or (T, H, W, 3) SHARED
     init_pose: jax.Array,  # (B, 3, 4) init for frame 0 (PoseCNN-style)
     k: jax.Array,  # (B, 3, 3)
     class_idx: jax.Array,  # (B,)
@@ -36,7 +36,7 @@ def refine_video(
     out_size: tuple[int, int] = (480, 640),
     renderer: str = "pallas",
     obs_masks: jax.Array | None = None,  # (T, B, H, W) for input_mask
-    obs_depths: jax.Array | None = None,  # (T, B, H, W) for input_depth
+    obs_depths: jax.Array | None = None,  # (T, B, H, W) — or (T, H, W)
 ) -> jax.Array:
     """Track B objects through T frames -> refined poses (T, B, 3, 4).
 
@@ -46,10 +46,24 @@ def refine_video(
     ``input_mask``/``input_depth`` take per-frame observed masks/depths;
     without them refine_step falls back to the rendered channels (a
     train/test input mismatch that degrades such models).
+
+    4-dim ``frames`` (and 3-dim ``obs_depths``) are one stream SHARED by
+    all B tracked objects — broadcast per scan step instead of being
+    materialized B-fold in HBM (every object of a scene sees the same
+    camera frame; the B-fold copy is pure waste).  ``obs_masks`` are
+    inherently per-object and stay (T, B, H, W).
     """
     assets_b = gather_class(assets, class_idx)
+    b = init_pose.shape[0]
+    shared_frames = frames.ndim == 4
+    shared_depths = obs_depths is not None and obs_depths.ndim == 3
 
     def refine_n(pose, frame, mask, depth, n):
+        if shared_frames:
+            frame = jnp.broadcast_to(frame, (b, *frame.shape))
+        if depth is not None and shared_depths:
+            depth = jnp.broadcast_to(depth, (b, *depth.shape))
+
         def one(p, _):
             outs = refine_step(variables, model, assets_b, frame, p, k,
                                class_idx, out_size, renderer,

@@ -102,6 +102,29 @@ def test_refine_video_shapes(assets):
     np.testing.assert_allclose(out[-1], init, atol=1e-5)
 
 
+def test_refine_video_shared_frames_matches_replicated(assets):
+    """(T, H, W, 3) shared frames (the memory-bounded tracking path) give
+    bit-identical trajectories to the explicit (T, B, ...) replication."""
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    T, B = 3, 2
+    shared = jax.random.uniform(jax.random.PRNGKey(2), (T, 96, 160, 3))
+    init = jnp.stack([_pose(0.7), _pose(0.8, tx=0.05)])
+    k = jnp.tile(K_CAM[None], (B, 1, 1))
+    cls = jnp.array([0, 1])
+    out_rep = refine_video(variables, model, assets,
+                           jnp.broadcast_to(shared[:, None],
+                                            (T, B, 96, 160, 3)),
+                           init, k, cls, iters_first=2, iters_rest=1,
+                           out_size=(H, W), renderer="xla")
+    out_shared = refine_video(variables, model, assets, shared, init, k,
+                              cls, iters_first=2, iters_rest=1,
+                              out_size=(H, W), renderer="xla")
+    np.testing.assert_array_equal(np.asarray(out_shared),
+                                  np.asarray(out_rep))
+
+
 @pytest.mark.slow
 def test_refine_video_obs_depth_plumbed(assets):
     """input_depth tracking consumes the per-frame observed depth stream
