@@ -196,6 +196,113 @@ class VideoDataset:
                    init_poses.reshape(-1, 12))
 
 
+def convert_ycb_original(src_root: str, out_root: str,
+                         class_names: list[str],
+                         sequences: list[str] | None = None,
+                         max_frames_per_seq: int | None = None,
+                         ) -> VideoDataset:
+    """Convert the ORIGINAL YCB-Video release layout into the video
+    layout this framework reads (reference toolkit parity — the release
+    with ``keyframe.txt`` + PoseCNN results, SURVEY.md §2.3):
+
+        {src}/data/{seq}/{frame}-color.png, -depth.png, -label.png,
+                         -meta.mat   # poses (3,4,n), cls_indexes (1-based
+                                     # into the 21-class list), factor_depth
+        {src}/models/{name}/textured.obj (or .ply)
+        {src}/image_sets/keyframe.txt   # lines "{seq}/{frame}"
+
+    ``class_names``: the release's 21 class names IN ORDER (cls_indexes
+    are 1-based positions into it).  Frames are written incrementally
+    (a sequence never materializes in memory); label pixels are remapped
+    from global class ids to the per-sequence slot convention
+    ``load_keyframe`` documents; poses are meters (as released); the
+    keyframe list is passed through.
+    """
+    from PIL import Image
+    from scipy.io import loadmat
+
+    from deepim_tpu.data.lm6d import DEPTH_FACTOR as DF
+    from deepim_tpu.raster.mesh import load_mesh
+
+    ds = VideoDataset(out_root, list(class_names))
+    data_dir = os.path.join(src_root, "data")
+    seqs = sequences or sorted(os.listdir(data_dir))
+
+    # models: the release ships textured.obj (+texture map) per class dir
+    seen_classes: set[int] = set()
+    for seq in seqs:
+        sdir = os.path.join(data_dir, seq)
+        frames = sorted({f.split("-")[0] for f in os.listdir(sdir)
+                         if f.endswith("-color.png")})
+        if max_frames_per_seq:
+            frames = frames[:max_frames_per_seq]
+        out_dir = os.path.join(out_root, "data", "video", seq)
+        os.makedirs(out_dir, exist_ok=True)
+        seq_cls: list[int] | None = None
+        for fid in frames:
+            meta = loadmat(os.path.join(sdir, f"{fid}-meta.mat"))
+            cls_idx = np.asarray(meta["cls_indexes"]).reshape(-1)
+            cls0 = [int(c) - 1 for c in cls_idx]  # 0-based class ids
+            if seq_cls is None:
+                seq_cls = cls0
+                seen_classes.update(cls0)
+            poses = np.asarray(meta["poses"], np.float32)  # (3, 4, n)
+            factor = float(np.asarray(meta["factor_depth"]).reshape(-1)[0])
+            for slot, ci in enumerate(cls0):
+                np.savetxt(
+                    os.path.join(out_dir,
+                                 f"{fid}-pose_{class_names[ci]}.txt"),
+                    poses[:, :, slot])
+            # color: copy; depth: rescale release factor -> DEPTH_FACTOR
+            Image.open(os.path.join(sdir, f"{fid}-color.png")).save(
+                os.path.join(out_dir, f"{fid}-color.png"))
+            dep = np.asarray(
+                Image.open(os.path.join(sdir, f"{fid}-depth.png")),
+                np.float32) / factor
+            Image.fromarray((dep * DF).astype(np.uint16)).save(
+                os.path.join(out_dir, f"{fid}-depth.png"))
+            lab_path = os.path.join(sdir, f"{fid}-label.png")
+            if os.path.exists(lab_path):
+                lab = np.asarray(Image.open(lab_path))
+                out_lab = np.zeros_like(lab, dtype=np.uint8)
+                for slot, ci in enumerate(cls0):
+                    out_lab[lab == ci + 1] = slot + 1  # global -> slot
+                Image.fromarray(out_lab).save(
+                    os.path.join(out_dir, f"{fid}-label.png"))
+        os.makedirs(os.path.join(out_root, "video_sets"), exist_ok=True)
+        with open(os.path.join(out_root, "video_sets", f"{seq}.txt"),
+                  "w") as f:
+            f.write("\n".join(frames) + "\n")
+        with open(os.path.join(out_root, "video_sets",
+                               f"{seq}_objects.txt"), "w") as f:
+            f.write("\n".join(class_names[c] for c in seq_cls) + "\n")
+
+    import shutil
+
+    for ci in sorted(seen_classes):
+        name = class_names[ci]
+        mdir = os.path.join(src_root, "models", name)
+        out_mdir = os.path.join(out_root, "models", name)
+        if os.path.isdir(mdir):
+            # copy the model directory verbatim (textured.obj + .mtl +
+            # texture map) so the per-pixel texture path survives —
+            # LM6DDataset.model_path probes textured.ply then .obj;
+            # re-encoding to ASCII PLY would bake colors and drop the map
+            os.makedirs(out_mdir, exist_ok=True)
+            for fn in os.listdir(mdir):
+                shutil.copy2(os.path.join(mdir, fn),
+                             os.path.join(out_mdir, fn))
+            load_mesh(ds._frames.model_path(name))  # validate it loads
+
+    kf_src = os.path.join(src_root, "image_sets", "keyframe.txt")
+    if os.path.exists(kf_src):
+        with open(kf_src) as f:
+            pairs = [tuple(ln.strip().split("/")) for ln in f
+                     if ln.strip()]
+        ds.write_keyframes([p for p in pairs if p[0] in set(seqs)])
+    return ds
+
+
 def keyframe_records(ds: VideoDataset):
     """Per-(keyframe, object) eval records from the keyframe list.
 

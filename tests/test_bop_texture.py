@@ -73,6 +73,59 @@ def test_bop_convert_roundtrip(tmp_path):
     assert k[0, 0] == 300.0 and k[1, 2] == 48.0
 
 
+def _write_mini_sixd(root, obj_id=5):
+    """SIXD-era (original LINEMOD_6D distribution) fixture: gt.yml /
+    info.yml, 4-digit image names, obj_{id:02d}.ply models."""
+    import yaml
+
+    from deepim_tpu.raster.mesh import save_ply
+
+    mesh = box_mesh((80.0, 100.0, 60.0))  # mm scale
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    save_ply(os.path.join(root, "models", f"obj_{obj_id:02d}.ply"), mesh)
+    sdir = os.path.join(root, "test", "01")
+    os.makedirs(os.path.join(sdir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(sdir, "depth"), exist_ok=True)
+    rng = np.random.RandomState(1)
+    gt, info = {}, {}
+    for im in range(2):
+        Image.fromarray(
+            rng.randint(0, 255, (96, 128, 3), np.uint8)
+        ).save(os.path.join(sdir, "rgb", f"{im:04d}.png"))
+        Image.fromarray(
+            (rng.rand(96, 128) * 1000).astype(np.uint16)
+        ).save(os.path.join(sdir, "depth", f"{im:04d}.png"))
+        gt[im] = [{"cam_R_m2c": np.eye(3).reshape(-1).tolist(),
+                   "cam_t_m2c": [10.0, -20.0, 700.0], "obj_id": obj_id}]
+        info[im] = {"cam_K": [300.0, 0.0, 64.0, 0.0, 300.0, 48.0,
+                              0.0, 0.0, 1.0],
+                    "depth_scale": 0.1}
+    with open(os.path.join(sdir, "gt.yml"), "w") as f:
+        yaml.safe_dump(gt, f)
+    with open(os.path.join(sdir, "info.yml"), "w") as f:
+        yaml.safe_dump(info, f)
+
+
+def test_sixd_yaml_convert_roundtrip(tmp_path):
+    """The original-release (SIXD gt.yml) LINEMOD distribution converts
+    through the same path as BOP, with identical outputs."""
+    sixd = str(tmp_path / "sixd")
+    out = str(tmp_path / "lm6d")
+    _write_mini_sixd(sixd)
+    ds = convert_bop_split(sixd, "test", out, {5: "box"})
+    mesh = ds.load_meshes()[0]
+    assert 0.05 < mesh.diameter < 0.2
+    recs = ds.gt_roidb("box", "test")
+    assert len(recs) == 2
+    np.testing.assert_allclose(recs[0].pose[:, 3], [0.01, -0.02, 0.7],
+                               atol=1e-6)
+    frame = ds.load_frame(recs[0])
+    assert frame["obs_rgb"].shape == (96, 128, 3)
+    assert frame["obs_depth"].max() <= 0.11  # depth_scale honored
+    k = bop_camera_k(sixd, "test", "01")
+    assert k[0, 0] == 300.0 and k[1, 2] == 48.0
+
+
 def test_sniff_not_fooled_by_vertex_indices(tmp_path):
     """A PLY with a stale TextureFile comment but NO per-vertex UVs must
     not be classified textured ('property list uchar int vertex_indices'

@@ -109,6 +109,76 @@ def test_posecnn_mat_import(video_ds, tmp_path):
     assert apply_posecnn_mat_init(recs, init2, str(tmp_path / "nope")) == 0
 
 
+def test_convert_ycb_original(tmp_path):
+    """The ORIGINAL YCB-Video release layout (meta.mat poses/cls_indexes/
+    factor_depth, global-id labels, image_sets/keyframe.txt, textured.obj
+    models) converts into the video layout: poses/depths/labels/keyframes
+    all round-trip."""
+    scipy_io = pytest.importorskip("scipy.io")
+    from PIL import Image
+
+    from deepim_tpu.data.video import convert_ycb_original
+
+    classes = ["alpha", "beta", "gamma"]
+    src = str(tmp_path / "ycb_src")
+    rng = np.random.RandomState(0)
+    seq, fids = "0003", ["000001", "000002"]
+    sdir = os.path.join(src, "data", seq)
+    os.makedirs(sdir)
+    # the sequence contains classes beta (2) and gamma (3), 1-based
+    cls_indexes = np.asarray([[2], [3]], np.uint8)
+    gt = {}
+    for fid in fids:
+        Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8)).save(
+            os.path.join(sdir, f"{fid}-color.png"))
+        depth_m = rng.rand(48, 64).astype(np.float32)
+        Image.fromarray((depth_m * 10000).astype(np.uint16)).save(
+            os.path.join(sdir, f"{fid}-depth.png"))
+        lab = np.zeros((48, 64), np.uint8)
+        lab[:10, :10] = 2  # global class id for beta
+        lab[20:30, :10] = 3  # gamma
+        Image.fromarray(lab).save(os.path.join(sdir, f"{fid}-label.png"))
+        poses = rng.randn(3, 4, 2).astype(np.float32)
+        scipy_io.savemat(os.path.join(sdir, f"{fid}-meta.mat"),
+                         {"poses": poses, "cls_indexes": cls_indexes,
+                          "factor_depth": np.asarray([[10000.0]]),
+                          "intrinsic_matrix": np.eye(3)})
+        gt[fid] = (poses, depth_m)
+    # models: beta as textured.obj with texture; gamma as plain obj
+    for name in ("beta", "gamma"):
+        mdir = os.path.join(src, "models", name)
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "textured.obj"), "w") as f:
+            f.write("v 0 0 0\nv 0.1 0 0\nv 0 0.1 0\nf 1 2 3\n")
+    os.makedirs(os.path.join(src, "image_sets"))
+    with open(os.path.join(src, "image_sets", "keyframe.txt"), "w") as f:
+        f.write(f"{seq}/{fids[1]}\n0099/000777\n")  # one outside seq list
+
+    out = str(tmp_path / "ycb_video")
+    ds = convert_ycb_original(src, out, classes)
+    assert ds.objects_in(seq) == ["beta", "gamma"]
+    assert ds.keyframes() == [(seq, fids[1])]  # foreign seq filtered
+    # pose and depth round-trip
+    np.testing.assert_allclose(
+        ds.keyframe_pose(seq, fids[0], "beta"), gt[fids[0]][0][:, :, 0],
+        atol=1e-6)
+    frame = ds.load_keyframe(seq, fids[0], "gamma")
+    np.testing.assert_allclose(frame["obs_depth"], gt[fids[0]][1],
+                               atol=2e-3)  # uint16 mm requantization
+    # labels remapped global->slot: gamma (global 3) is slot 2 in-seq
+    assert frame["obs_mask"][20:30, :10].all()
+    assert not frame["obs_mask"][:10, :10].any()
+    # models copied verbatim and loadable
+    (m1, m2) = LM6DDatasetFor(out, ["beta", "gamma"])
+    assert m1.num_faces == 1 and m2.num_faces == 1
+
+
+def LM6DDatasetFor(root, objs):
+    from deepim_tpu.data.lm6d import LM6DDataset
+
+    return LM6DDataset(root, objs).load_meshes()
+
+
 @pytest.mark.slow
 def test_cli_ycb_keyframe_end_to_end(video_ds, tmp_path):
     """cli.test --cfg ycb_video runs the keyframe protocol end to end:
