@@ -22,7 +22,8 @@ K_ITERS = 4
 # Hypotheses refined together (the TPU scaling axis).  B=128 is the
 # measured throughput knee on v5e: it halves the host-dispatch share vs
 # B=64 (+20% poses/s) and B=256 gains nothing further (HBM-bound).
-BATCH = 128
+# Override: BENCH_BATCH=N.
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 # Coarse-to-fine schedule: first N of the K iterations run at half
 # resolution (quarter-cost render+CNN; accuracy-validated on the
 # mixed-res-trained flagship — see PARITY.md).  Override: BENCH_COARSE=0.

@@ -2,6 +2,7 @@
 MXNet weight-converter round-trip.
 """
 
+import json
 import os
 
 import jax
@@ -298,5 +299,18 @@ def test_cli_track_end_to_end(tmp_path):
     rc = cli_track.main(["--cfg", cfg_path, "--num-frames", "3",
                          "--iters-first", "1", "--iters-rest", "1"])
     assert rc == 0
-    assert os.path.exists(str(tmp_path / "out" / "trk" /
-                              "track_results.json"))
+    results_path = str(tmp_path / "out" / "trk" / "track_results.json")
+    assert os.path.exists(results_path)
+    with open(results_path) as f:
+        whole = json.load(f)
+
+    # windowed streaming (--window 2 over 3 frames: a boundary crossing)
+    # must reproduce the single-window trajectory metrics exactly — the
+    # pose carries across windows, frame-0 budget only on frame 0.
+    rc = cli_track.main(["--cfg", cfg_path, "--num-frames", "3",
+                         "--iters-first", "1", "--iters-rest", "1",
+                         "--window", "2"])
+    assert rc == 0
+    with open(results_path) as f:
+        windowed = json.load(f)
+    assert windowed["mean"] == whole["mean"]
