@@ -133,6 +133,7 @@ def test_pm_loss_symmetry_min():
     assert float(loss_nosym[0]) > 1e-3
 
 
+@pytest.mark.slow
 def test_pm_loss_continuous_z_closed_form():
     """Continuous z-symmetry (YCB bowl semantics): a target rotated by an
     ARBITRARY angle about z (maximally off the 16-fold grid) costs ~zero

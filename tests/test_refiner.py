@@ -94,6 +94,7 @@ def test_oracle_delta_converges(assets):
     assert float(err.max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_refine_step_runs_with_render(assets):
     """Full refine_step (render + zoom + net) executes and returns aux."""
     model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32)
