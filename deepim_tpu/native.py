@@ -56,6 +56,13 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(pf), ctypes.POINTER(pf),
         ctypes.POINTER(pi), ctypes.POINTER(c_i64), ctypes.POINTER(c_i64),
     ]
+    lib.dn_load_obj.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(pf), ctypes.POINTER(pf),
+        ctypes.POINTER(pf), ctypes.POINTER(pi),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(c_i64),
+        ctypes.POINTER(c_i64), ctypes.POINTER(c_i32),
+        ctypes.POINTER(c_i32),
+    ]
     lib.dn_vertex_normals.argtypes = [pf, c_i64, pi, c_i64, pf]
     lib.dn_sample_points.argtypes = [pf, c_i64, pi, c_i64, c_i64,
                                      ctypes.c_uint64, pf]
@@ -116,6 +123,46 @@ def load_ply(path: str):
     f = np.ctypeslib.as_array(pfc, shape=(nf.value * 3,)).copy().reshape(-1, 3)
     lib.dn_free(pfc)
     return v, c, f
+
+
+def load_obj(path: str):
+    """-> (vertices (V,3) f32, colors (V,3) f32, uvs (V,2) f32 | None,
+    faces (F,3) i32, mtllib filename | None, num_materials int) or None.
+
+    Geometry fast path for Wavefront OBJ (C++ §dn_load_obj): v/vt/f with
+    (position, uv) corner dedup, fan triangulation, negative indices.
+    Material resolution (MTL parse, texture baking) stays Python-side.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    pv = ctypes.POINTER(ctypes.c_float)()
+    pc = ctypes.POINTER(ctypes.c_float)()
+    puv = ctypes.POINTER(ctypes.c_float)()
+    pfc = ctypes.POINTER(ctypes.c_int32)()
+    pmtl = ctypes.c_char_p()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    has_uv = ctypes.c_int32()
+    nmat = ctypes.c_int32()
+    rc = lib.dn_load_obj(path.encode(), ctypes.byref(pv), ctypes.byref(pc),
+                         ctypes.byref(puv), ctypes.byref(pfc),
+                         ctypes.byref(pmtl), ctypes.byref(nv),
+                         ctypes.byref(nf), ctypes.byref(has_uv),
+                         ctypes.byref(nmat))
+    if rc != 0:
+        return None
+    v = _take_f32(lib, pv, nv.value * 3).reshape(-1, 3)
+    c = _take_f32(lib, pc, nv.value * 3).reshape(-1, 3)
+    uv = _take_f32(lib, puv, nv.value * 2).reshape(-1, 2)
+    f = np.ctypeslib.as_array(pfc, shape=(max(nf.value, 1) * 3,)).copy()
+    f = f[: nf.value * 3].reshape(-1, 3)
+    lib.dn_free(pfc)
+    mtllib = pmtl.value.decode() if pmtl.value else None
+    if pmtl:
+        lib.dn_free(pmtl)
+    return (v, c, uv if has_uv.value else None, f, mtllib,
+            int(nmat.value))
 
 
 def vertex_normals(vertices: np.ndarray, faces: np.ndarray):

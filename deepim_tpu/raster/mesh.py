@@ -897,7 +897,49 @@ def load_obj(path: str) -> Mesh:
     textured raster path can sample it.  Vertex-colored OBJ
     (``v x y z r g b``, Meshlab extension) is honored.  Negative (relative)
     indices per the OBJ spec are supported.
+
+    Geometry parsing routes to the native C++ fast path
+    (``native/src/deepim_native.cpp §dn_load_obj``) when the .so is built
+    and the file uses at most ONE material (YCB scans do) — multi-material
+    objs need per-face material tracking, which only this Python parser
+    keeps.  Python remains the fallback and parity oracle
+    (tests/test_native.py).
     """
+    from deepim_tpu import native
+
+    if native.available():
+        out = native.load_obj(path)
+        if out is not None:
+            nv, nc, nuv, nfaces, mtllib, nmat = out
+            if nmat <= 1:
+                mtl: dict[str, dict] = {}
+                if mtllib:
+                    mpath = os.path.join(os.path.dirname(path), mtllib)
+                    if os.path.exists(mpath):
+                        mtl = _parse_mtl(mpath)
+                if nc.max() > 1.5:  # 0-255-valued vertex colors
+                    nc = nc / 255.0
+                tex_path = next(
+                    (m["map_kd"] for m in mtl.values() if m.get("map_kd")),
+                    None,
+                )
+                if tex_path is not None and nuv is not None:
+                    from PIL import Image
+
+                    img = np.asarray(Image.open(tex_path).convert("RGB"))
+                    nc = bake_texture_to_vertices(nuv, img)
+                    mesh = make_mesh(nv, nfaces, nc)
+                    return Mesh(mesh.vertices, mesh.faces, mesh.colors,
+                                mesh.normals, uv=nuv,
+                                texture=np.asarray(img, np.float32) / 255.0)
+                if mtl and np.allclose(nc, 0.7, atol=1e-6):
+                    # no vertex colors, no texture -> flat material Kd
+                    kd = next(iter(mtl.values()))["kd"]
+                    nc = np.tile(np.asarray(kd, np.float32)[None],
+                                 (len(nv), 1))
+                return make_mesh(nv, nfaces, nc)
+            # multi-material: fall through to the full Python parser
+
     positions: list[list[float]] = []
     vcolors: list[list[float]] = []
     uvs: list[list[float]] = []

@@ -240,6 +240,197 @@ int dn_load_ply(const char* path, float** vertices, float** colors,
 }
 
 // ---------------------------------------------------------------------------
+// OBJ loading (geometry fast path; YCB textured.obj scans run to ~1M lines
+// and the Python line loop takes seconds).  Parses v/vt/f (+ the Meshlab
+// per-vertex-color extension), fan-triangulates polygons, supports
+// negative (relative) indices, and deduplicates (position, uv) corner
+// pairs so UVs live per output vertex — the same unification the Python
+// loader (raster/mesh.py §load_obj) performs.  Material handling stays in
+// Python: this returns the first mtllib filename + the count of distinct
+// usemtl names so the caller knows whether the single-texture bake is
+// valid or the per-face-material Python path is needed.
+// ---------------------------------------------------------------------------
+
+// Outputs (caller dn_free's everything):
+//   vertices (V*3) f32; colors (V*3) f32 (0.7 default / v-line colors);
+//   uvs (V*2) f32 (meaningful iff *has_uv); faces (F*3) i32;
+//   mtllib: first "mtllib" filename as a NUL-terminated string or NULL.
+//   num_materials: distinct usemtl names seen.
+// Returns 0 on success.
+int dn_load_obj(const char* path, float** vertices, float** colors,
+                float** uvs, int32_t** faces, char** mtllib,
+                int64_t* num_vertices, int64_t* num_faces,
+                int32_t* has_uv, int32_t* num_materials) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (fread(buf.data(), 1, size, f) != (size_t)size) { fclose(f); return -2; }
+  fclose(f);
+  buf[size] = '\0';
+
+  std::vector<float> pos;      // raw v records (3 per)
+  std::vector<float> vcol;     // optional v-line colors (3 per, parallel)
+  std::vector<float> vt;       // raw vt records (2 per)
+  std::vector<int64_t> corner_keys;  // flattened (v, t) per face corner
+  std::vector<int32_t> face_sizes;
+  bool any_vcol = false, any_uv_ref = false;
+  std::vector<std::string> mat_names;
+  *mtllib = nullptr;
+
+  char* p = buf.data();
+  char* end = buf.data() + size;
+  while (p < end) {
+    // find line end
+    char* nl = (char*)memchr(p, '\n', end - p);
+    char* line_end = nl ? nl : end;
+    // strtok-free manual parse
+    if (p + 1 < line_end && p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+      char* q = p + 2;
+      double a = strtod(q, &q), b = strtod(q, &q), c = strtod(q, &q);
+      pos.push_back((float)a); pos.push_back((float)b); pos.push_back((float)c);
+      // Meshlab extension: v x y z r g b
+      char* q2 = q;
+      double r = strtod(q2, &q2);
+      if (q2 != q && q2 <= line_end) {
+        double g = strtod(q2, &q2), bl = strtod(q2, &q2);
+        vcol.push_back((float)r); vcol.push_back((float)g);
+        vcol.push_back((float)bl);
+        any_vcol = true;
+      } else {
+        vcol.push_back(0.7f); vcol.push_back(0.7f); vcol.push_back(0.7f);
+      }
+    } else if (p + 2 < line_end && p[0] == 'v' && p[1] == 't' &&
+               (p[2] == ' ' || p[2] == '\t')) {
+      char* q = p + 3;
+      double u = strtod(q, &q), v = strtod(q, &q);
+      vt.push_back((float)u); vt.push_back((float)v);
+    } else if (p + 1 < line_end && p[0] == 'f' &&
+               (p[1] == ' ' || p[1] == '\t')) {
+      char* q = p + 2;
+      int corners = 0;
+      while (q < line_end) {
+        while (q < line_end && (*q == ' ' || *q == '\t')) q++;
+        if (q >= line_end || *q == '\r') break;
+        char* tok_end = q;
+        long vi = strtol(q, &tok_end, 10);
+        if (tok_end == q) break;
+        q = tok_end;
+        long ti = 0;  // 0 = none (1-based below)
+        if (q < line_end && *q == '/') {
+          q++;
+          if (q < line_end && *q != '/') {
+            ti = strtol(q, &q, 10);
+          }
+          if (q < line_end && *q == '/') {  // skip normal index
+            q++;
+            strtol(q, &q, 10);
+          }
+        }
+        long v_abs = vi > 0 ? vi - 1 : (long)(pos.size() / 3) + vi;
+        long t_abs = ti == 0 ? -1
+                             : (ti > 0 ? ti - 1 : (long)(vt.size() / 2) + ti);
+        if (t_abs >= 0) any_uv_ref = true;
+        corner_keys.push_back(((int64_t)v_abs << 32) | (uint32_t)(t_abs + 1));
+        corners++;
+      }
+      face_sizes.push_back(corners);
+    } else if (line_end - p > 7 && memcmp(p, "mtllib ", 7) == 0 &&
+               *mtllib == nullptr) {
+      const char* s = p + 7;
+      while (s < line_end && (*s == ' ' || *s == '\t')) s++;
+      const char* e = line_end;
+      while (e > s && (e[-1] == '\r' || e[-1] == ' ')) e--;
+      *mtllib = (char*)malloc(e - s + 1);
+      memcpy(*mtllib, s, e - s);
+      (*mtllib)[e - s] = '\0';
+    } else if (line_end - p > 7 && memcmp(p, "usemtl ", 7) == 0) {
+      std::string name(p + 7, line_end - (p + 7));
+      while (!name.empty() && (name.back() == '\r' || name.back() == ' '))
+        name.pop_back();
+      bool seen = false;
+      for (const auto& m : mat_names) seen = seen || m == name;
+      if (!seen) mat_names.push_back(name);
+    }
+    p = nl ? nl + 1 : end;
+  }
+
+  const bool use_uv = any_uv_ref && !vt.empty();
+  // Corner dedup -> unified output vertices.
+  std::unordered_map<int64_t, int32_t> corner_map;
+  std::vector<float> out_pos, out_col, out_uv;
+  std::vector<int32_t> tris;
+  size_t ci = 0;
+  std::vector<int32_t> poly;  // corner ids of the current face
+  for (int32_t fs : face_sizes) {
+    poly.clear();
+    for (int32_t k = 0; k < fs; k++, ci++) {
+      int64_t key = corner_keys[ci];
+      long v_abs = (long)(key >> 32);
+      long t_abs = (long)(uint32_t)key - 1;
+      if (v_abs < 0 || v_abs >= (long)(pos.size() / 3)) return -3;
+      int32_t id;
+      if (!use_uv) {
+        id = (int32_t)v_abs;
+      } else {
+        auto it = corner_map.find(key);
+        if (it != corner_map.end()) {
+          id = it->second;
+        } else {
+          id = (int32_t)(out_pos.size() / 3);
+          corner_map.emplace(key, id);
+          out_pos.push_back(pos[v_abs * 3]);
+          out_pos.push_back(pos[v_abs * 3 + 1]);
+          out_pos.push_back(pos[v_abs * 3 + 2]);
+          out_col.push_back(vcol[v_abs * 3]);
+          out_col.push_back(vcol[v_abs * 3 + 1]);
+          out_col.push_back(vcol[v_abs * 3 + 2]);
+          if (t_abs >= 0 && t_abs < (long)(vt.size() / 2)) {
+            out_uv.push_back(vt[t_abs * 2]);
+            out_uv.push_back(vt[t_abs * 2 + 1]);
+          } else {
+            out_uv.push_back(0.0f);
+            out_uv.push_back(0.0f);
+          }
+        }
+      }
+      poly.push_back(id);
+    }
+    for (size_t k = 1; k + 1 < poly.size(); k++) {
+      tris.push_back(poly[0]);
+      tris.push_back(poly[k]);
+      tris.push_back(poly[k + 1]);
+    }
+  }
+
+  int64_t nv = use_uv ? (int64_t)(out_pos.size() / 3)
+                      : (int64_t)(pos.size() / 3);
+  int64_t nf = (int64_t)(tris.size() / 3);
+  *vertices = (float*)malloc(nv * 3 * sizeof(float));
+  *colors = (float*)malloc(nv * 3 * sizeof(float));
+  *uvs = (float*)malloc((nv > 0 ? nv : 1) * 2 * sizeof(float));
+  *faces = (int32_t*)malloc((nf > 0 ? nf : 1) * 3 * sizeof(int32_t));
+  if (use_uv) {
+    memcpy(*vertices, out_pos.data(), nv * 3 * sizeof(float));
+    memcpy(*colors, out_col.data(), nv * 3 * sizeof(float));
+    memcpy(*uvs, out_uv.data(), nv * 2 * sizeof(float));
+  } else {
+    memcpy(*vertices, pos.data(), nv * 3 * sizeof(float));
+    memcpy(*colors, vcol.data(), nv * 3 * sizeof(float));
+    memset(*uvs, 0, nv * 2 * sizeof(float));
+  }
+  if (nf > 0) memcpy(*faces, tris.data(), nf * 3 * sizeof(int32_t));
+  *num_vertices = nv;
+  *num_faces = nf;
+  *has_uv = use_uv ? 1 : 0;
+  *num_materials = (int32_t)mat_names.size();
+  (void)any_vcol;
+  return nv > 0 ? 0 : -4;
+}
+
+// ---------------------------------------------------------------------------
 // Mesh ops: normals, sampling, decimation
 // ---------------------------------------------------------------------------
 
