@@ -91,6 +91,10 @@ def main(argv=None):
     k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
     bs = cfg.test.batch_size
     batches = None  # "stream" marks the on-disk (IO-prefetched) branch
+    # observed depth feeds the network only for input_depth models, but
+    # ALSO the multi-hypothesis visibility score (occlusion robustness) —
+    # carry it whenever either consumer is active and the data has it
+    want_depth = bool(cfg.network.input_depth) or args.hypotheses > 1
     records = None  # lm6d test records (scene/frame ids for BOP export)
     if d.obj_ids and len(d.obj_ids) != len(d.objects):
         # checked before ANY batch generation: --save-poses maps class
@@ -207,7 +211,7 @@ def main(argv=None):
                     "pose_tgt": pose_gt_all[sl],
                     "class_idx": cls_all[sl],
                 }
-                if cfg.network.input_depth:
+                if want_depth:
                     out["obs_depth"] = fr["obs_depth"]
                 if cfg.network.input_mask:
                     out["obs_mask"] = fr["obs_mask"]
@@ -256,7 +260,7 @@ def main(argv=None):
                     "pose_tgt": pose_gt_all[sl],
                     "class_idx": cls_all[sl],
                 }
-                if cfg.network.input_depth:
+                if want_depth:
                     out["obs_depth"] = fr["obs_depth"]
                 if cfg.network.input_mask:
                     out["obs_mask"] = fr["obs_mask"]
@@ -311,7 +315,7 @@ def main(argv=None):
         obs_mask_b = (jnp.asarray(batch["obs_mask"])
                       if cfg.network.input_mask else None)
         obs_depth_b = (jnp.asarray(batch["obs_depth"])
-                       if cfg.network.input_depth else None)
+                       if want_depth and "obs_depth" in batch else None)
         gt_parts.append(np.asarray(batch["pose_tgt"]))
         cls_parts.append(np.asarray(batch["class_idx"]))
         if args.vis and len(vis_rows) < args.vis:
