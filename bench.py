@@ -36,6 +36,13 @@ COARSE_ITERS = int(os.environ.get("BENCH_COARSE", "2"))
 # poses/s measured back-to-back on the same chip).  BENCH_PIPELINE=0
 # restores serial median-of-5 latency timing.
 PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE", "8"))
+# BENCH_QUANT=int8: run the encoder convs + pose-head FCs as symmetric
+# int8 MXU matmuls (dynamic activation scales, per-channel weight
+# scales; same parameter tree — see models/flownet.py).  Default off:
+# the headline stays the bf16 protocol until the int8 accuracy delta is
+# validated on a trained checkpoint (tests/test_quant.py bounds it on
+# random weights).
+QUANT = os.environ.get("BENCH_QUANT", "none")
 # Wait up to this long for the device to answer before benchmarking: the
 # experimental axon TPU tunnel goes down for tens of minutes at a time
 # (server-side), and a bench launched into a dead backend would record
@@ -108,7 +115,8 @@ def main() -> int:
         num_points=3000,
     )
     model = DeepIMFlowNet(num_classes=assets.num_classes,
-                          head_grid=bottleneck_grid(480, 640))
+                          head_grid=bottleneck_grid(480, 640),
+                          quant=QUANT)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 480, 640, 6)))
 
@@ -166,6 +174,7 @@ def main() -> int:
         "pipeline_reps": PIPELINE_REPS,
         "timing": "pipelined_throughput" if PIPELINE_REPS else
                   "serial_median_of_5",
+        "quant": QUANT,
         # 12 poses/s is the DeepIM paper's recalled timing remark
         # (GTX-1080-class GPU + OpenGL, K=2-4), not a measured rerun —
         # see BASELINE.md for the confidence discussion

@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="directory of PoseCNN released per-keyframe .mat "
                         "results ({i:06d}.mat ordered by keyframe.txt) "
                         "used as init poses (dataset.name=ycb_video only)")
+    p.add_argument("--quant", default="",
+                   help="override cfg.network.quant for this eval "
+                        "('int8' or 'none'): A/B the quantized-inference "
+                        "path against the same checkpoint")
     p.add_argument("--save-poses", action="store_true",
                    help="write per-sample refined pose trajectories to "
                         "refined_poses.npz (reference pred_eval stores "
@@ -65,6 +69,8 @@ def main(argv=None):
     from deepim_tpu.train.checkpoint import latest_step, restore_checkpoint
 
     cfg = update_config(args.cfg)
+    if args.quant:
+        cfg.network.quant = args.quant
     out_dir = os.path.join(cfg.output_dir, cfg.experiment)
     # eval-only runs (external/absent checkpoints) start from nothing
     os.makedirs(out_dir, exist_ok=True)
@@ -76,7 +82,7 @@ def main(argv=None):
     train_assets_classes = (cfg.dataset.zoo_size
                             if cfg.dataset.name == "modelnet"
                             else len(cfg.dataset.objects))
-    model = make_model(cfg, train_assets_classes)
+    model = make_model(cfg, train_assets_classes, inference=True)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
     if latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)

@@ -64,7 +64,7 @@ def main(argv=None):
     k_np = np.array([[d.fx, 0, d.cx], [0, d.fy, d.cy], [0, 0, 1]], np.float32)
 
     assets, names, symmetric = load_assets_and_names(cfg, eval_set=True)
-    model = make_model(cfg, len(cfg.dataset.objects))
+    model = make_model(cfg, len(cfg.dataset.objects), inference=True)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
     if latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)

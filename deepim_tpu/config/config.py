@@ -58,6 +58,13 @@ class NetworkConfig:
     # tests/test_convert_math.py).  Default off: self-trained SAME
     # checkpoints stay loadable.
     mxnet_pad: bool = False
+    # Quantized INFERENCE ("int8"): encoder convs + pose-head FCs run as
+    # symmetric int8 matmuls on the MXU (dynamic per-sample activation
+    # scales, per-output-channel weight scales).  Applied only by
+    # inference entry points (cli.test/serve/bench) — training always
+    # runs the configured f32/bf16 dtype, and the parameter tree is
+    # unchanged, so any checkpoint serves both modes.  "none" = off.
+    quant: str = "none"
 
 
 @dataclass

@@ -43,6 +43,56 @@ def leaky(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
+def _quantize_int8(x, axes):
+    """Symmetric int8 quantization → (int8 values, f32 scale).
+
+    ``axes`` are reduced for the max-abs scale (kept as size-1 dims so the
+    scale broadcasts back).  Zero-point is 0, so zero padding stays exact.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_int8_static(x, scale):
+    """Symmetric int8 quantization with a FIXED (calibrated) scale.
+
+    Unlike :func:`_quantize_int8` there is no max-abs reduction over the
+    activation — the round/clip is pure elementwise work that XLA fuses
+    into the producing op's epilogue, and the tensor that reaches HBM
+    between layers is int8 (half of bf16 traffic).  Out-of-calibration
+    values saturate at ±127 (symmetric clip).
+    """
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def _int8_conv(x, kernel, strides, padding, act_scale=None):
+    """NHWC conv with both operands int8-quantized on the fly.
+
+    Activations use dynamic per-sample scales (axes 1-3) — or, when
+    ``act_scale`` (a calibrated python float) is given, one static scale
+    with no reduction pass (see :func:`_quantize_int8_static`).  Weights
+    use per-output-channel scales (axes 0-2); the int32 accumulator is
+    exact (|sum| < 8k·127² per tap row, far inside int32), so the only
+    error is the two roundings.  The MXU runs int8×int8→int32 at twice
+    the bf16 rate on v5e — this is the inference-throughput lever.
+    """
+    if act_scale is not None:
+        xq, sx = _quantize_int8_static(x, act_scale), act_scale
+    else:
+        xq, sx = _quantize_int8(x, axes=(1, 2, 3))
+    kq, sk = _quantize_int8(kernel, axes=(0, 1, 2))
+    y = jax.lax.conv_general_dilated(
+        xq, kq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * sx * sk.reshape(1, 1, 1, -1)
+
+
 class Conv(nn.Module):
     """Conv + LeakyReLU(0.1), SAME padding (FlowNetS style).
 
@@ -59,15 +109,31 @@ class Conv(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     sym_pad: bool = False
+    quant: str = "none"  # "int8": on-the-fly quantized conv (same params)
+    act_scale: float | None = None  # calibrated static activation scale
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel // 2
+        pad = ((p, p), (p, p)) if self.sym_pad else "SAME"
+        if self.quant == "int8":
+            kernel, bias = _ConvParams(
+                (self.kernel, self.kernel, x.shape[-1], self.features),
+                name="Conv_0",
+            )()
+            if self.act_scale is None:  # dynamic mode doubles as calibration
+                self.sow("quant_stats", "amax",
+                         jnp.max(jnp.abs(x)).astype(jnp.float32),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
+            y = _int8_conv(x, kernel, (self.stride, self.stride), pad,
+                           act_scale=self.act_scale)
+            return leaky((y + bias).astype(self.dtype))
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)) if self.sym_pad else "SAME",
+            padding=pad,
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
@@ -111,6 +177,8 @@ class StemConv(nn.Module):
     stride: int = 2
     dtype: Any = jnp.bfloat16
     sym_pad: bool = False  # MXNet symmetric padding (see Conv)
+    quant: str = "none"  # "int8": quantized conv (same params, see Conv)
+    act_scale: float | None = None  # calibrated static activation scale
 
     @nn.compact
     def __call__(self, x):
@@ -118,6 +186,12 @@ class StemConv(nn.Module):
         c = x.shape[-1]
         kernel, bias = _ConvParams((kk, kk, c, self.features),
                                    name="Conv_0")()
+        if self.quant == "int8" and self.act_scale is None:
+            # s2d only rearranges (and zero-pads) x, so amax(xs) == amax(x)
+            self.sow("quant_stats", "amax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
         b_, h, w = x.shape[0], x.shape[1], x.shape[2]
         dt = self.dtype
         if ss == 2 and h % 2 == 0 and w % 2 == 0:
@@ -141,18 +215,57 @@ class StemConv(nn.Module):
             kp = kp.reshape(kb, 2, kb, 2, c, self.features)
             kp = kp.transpose(0, 2, 1, 3, 4, 5)
             kp = kp.reshape(kb, kb, 4 * c, self.features)
-            y = jax.lax.conv_general_dilated(
-                xs.astype(dt), kp.astype(dt), (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if self.quant == "int8":
+                y = _int8_conv(xs, kp, (1, 1), "VALID",
+                               act_scale=self.act_scale).astype(dt)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xs.astype(dt), kp.astype(dt), (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         else:  # odd input dims: plain path (identical math to nn.Conv)
             p = kk // 2
-            y = jax.lax.conv_general_dilated(
-                x.astype(dt), kernel.astype(dt), (ss, ss),
-                [(p, p), (p, p)] if self.sym_pad else "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            pad = [(p, p), (p, p)] if self.sym_pad else "SAME"
+            if self.quant == "int8":
+                y = _int8_conv(x, kernel, (ss, ss), pad,
+                               act_scale=self.act_scale).astype(dt)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dt), kernel.astype(dt), (ss, ss), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         return leaky(y + bias.astype(dt))
+
+
+class QDense(nn.Module):
+    """int8-quantized Dense with ``nn.Dense``'s exact param names/shapes.
+
+    Per-sample activation scales, per-output-column weight scales; the
+    checkpoint tree is interchangeable with a plain ``nn.Dense`` of the
+    same name.
+    """
+
+    features: int
+    act_scale: float | None = None  # calibrated static activation scale
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        if self.act_scale is not None:
+            xq, sx = _quantize_int8_static(x, self.act_scale), self.act_scale
+        else:
+            self.sow("quant_stats", "amax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            xq, sx = _quantize_int8(x, axes=(1,))
+        kq, sk = _quantize_int8(kernel, axes=(0,))
+        y = jax.lax.dot_general(xq, kq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * sx * sk + bias
 
 
 class Deconv(nn.Module):
@@ -244,6 +357,25 @@ class DeepIMFlowNet(nn.Module):
     # Set True when loading converted reference weights; False (default)
     # keeps SAME for self-trained checkpoints' backward compatibility.
     mxnet_pad: bool = False
+    # "int8": quantized inference — the encoder convs and the two pose-
+    # head FCs run as symmetric int8 MXU ops (dynamic per-sample
+    # activation scales, per-output-channel weight scales).  The
+    # parameter tree is UNCHANGED (quantization happens on the fly), so
+    # any bf16/f32-trained checkpoint loads directly.  Inference-only:
+    # rounding has no gradient, so training drivers always build with
+    # "none" (train/train.py §make_model).  The decoder/mask branch is
+    # never quantized (it is train-time supervision; eval runs pose_only).
+    quant: str = "none"
+    # Calibrated STATIC activation scales: a hashable tuple of
+    # (layer_name, scale) pairs from models/quant.py §calibrate_act_scales.
+    # With quant="int8" and a layer's name present here, that layer's
+    # activations quantize with the fixed scale — no max-abs reduction
+    # pass, so the round/clip fuses into the producer's epilogue and the
+    # inter-layer tensor is int8 in HBM (half of bf16 traffic).  Empty
+    # (default) = dynamic per-sample scales (which also serve as the
+    # calibration mode: running with mutable=["quant_stats"] records each
+    # layer's max-abs).
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, pose_only: bool = False):
@@ -255,21 +387,22 @@ class DeepIMFlowNet(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         sp = self.mxnet_pad
+        q = self.quant
+        sc = dict(self.act_scales)
 
         # --- FlowNetS encoder (channels per the public FlowNetS arch) ---
-        if self.stem_s2d:
-            c1 = StemConv(64, 7, 2, dt, sp, name="conv1")(x)  # 1/2
-        else:
-            c1 = Conv(64, 7, 2, dt, sp, name="conv1")(x)  # 1/2
-        c2 = Conv(128, 5, 2, dt, sp, name="conv2")(c1)  # 1/4
-        c3 = Conv(256, 5, 2, dt, sp, name="conv3")(c2)  # 1/8
-        c3 = Conv(256, 3, 1, dt, sp, name="conv3_1")(c3)
-        c4 = Conv(512, 3, 2, dt, sp, name="conv4")(c3)  # 1/16
-        c4 = Conv(512, 3, 1, dt, sp, name="conv4_1")(c4)
-        c5 = Conv(512, 3, 2, dt, sp, name="conv5")(c4)  # 1/32
-        c5 = Conv(512, 3, 1, dt, sp, name="conv5_1")(c5)
-        c6 = Conv(1024, 3, 2, dt, sp, name="conv6")(c5)  # 1/64
-        c6 = Conv(1024, 3, 1, dt, sp, name="conv6_1")(c6)
+        stem = StemConv if self.stem_s2d else Conv
+        c1 = stem(64, 7, 2, dt, sp, q, sc.get("conv1"), name="conv1")(x)
+        c2 = Conv(128, 5, 2, dt, sp, q, sc.get("conv2"), name="conv2")(c1)
+        c3 = Conv(256, 5, 2, dt, sp, q, sc.get("conv3"), name="conv3")(c2)
+        c3 = Conv(256, 3, 1, dt, sp, q, sc.get("conv3_1"), name="conv3_1")(c3)
+        c4 = Conv(512, 3, 2, dt, sp, q, sc.get("conv4"), name="conv4")(c3)
+        c4 = Conv(512, 3, 1, dt, sp, q, sc.get("conv4_1"), name="conv4_1")(c4)
+        c5 = Conv(512, 3, 2, dt, sp, q, sc.get("conv5"), name="conv5")(c4)
+        c5 = Conv(512, 3, 1, dt, sp, q, sc.get("conv5_1"), name="conv5_1")(c5)
+        c6 = Conv(1024, 3, 2, dt, sp, q, sc.get("conv6"), name="conv6")(c5)
+        c6 = Conv(1024, 3, 1, dt, sp, q, sc.get("conv6_1"),
+                  name="conv6_1")(c6)
 
         out: dict[str, Any] = {}
 
@@ -319,10 +452,16 @@ class DeepIMFlowNet(nn.Module):
             h = jnp.mean(c6, axis=(1, 2))
         else:
             raise ValueError(self.pose_head)
-        h = leaky(nn.Dense(self.fc_dim, dtype=dt, param_dtype=jnp.float32,
-                           name="fc1")(h))
-        h = leaky(nn.Dense(self.fc_dim, dtype=dt, param_dtype=jnp.float32,
-                           name="fc2")(h))
+        if q == "int8":
+            h = leaky(QDense(self.fc_dim, sc.get("fc1"),
+                             name="fc1")(h)).astype(dt)
+            h = leaky(QDense(self.fc_dim, sc.get("fc2"),
+                             name="fc2")(h)).astype(dt)
+        else:
+            h = leaky(nn.Dense(self.fc_dim, dtype=dt, param_dtype=jnp.float32,
+                               name="fc1")(h))
+            h = leaky(nn.Dense(self.fc_dim, dtype=dt, param_dtype=jnp.float32,
+                               name="fc2")(h))
 
         rot_dim = 4 if self.rot_type == "quat" else 3
         # Zero-init final heads: the initial delta is exactly identity

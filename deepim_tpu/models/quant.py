@@ -1,0 +1,71 @@
+"""Calibrated static-scale int8 inference (``network.quant: int8_static``).
+
+The dynamic-scale int8 mode (DESIGN.md §14) measured throughput-neutral:
+its per-layer max-abs reduction re-reads every activation, giving the
+int8 MXU-rate win back as HBM traffic.  Static calibrated scales delete
+that pass — the quantize becomes pure elementwise work fused into the
+producing conv's epilogue, and the tensor that crosses HBM between
+encoder layers is int8 (half of bf16).
+
+Calibration reuses the dynamic mode itself: every quantized layer sows
+its running activation max-abs into a ``quant_stats`` collection (a
+no-op unless the collection is marked mutable), so one forward pass over
+representative inputs yields per-layer scales.  The scales ride the
+model object as a hashable tuple attribute (``DeepIMFlowNet.act_scales``)
+— NOT the checkpoint: parameters stay bit-identical to the plain model,
+and the refine loop's ``static_argnames=("model",)`` jit caching keeps
+working.
+
+Reference mapping: the reference has no quantized path (MXNet fp32
+throughout, SURVEY §2.5); this is a rebuild-only serving lever.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+
+from deepim_tpu.models.flownet import DeepIMFlowNet
+
+__all__ = ["calibrate_act_scales", "QUANT_MODES"]
+
+# cfg.network.quant values understood by the entry points.
+QUANT_MODES = ("none", "int8", "int8_static")
+
+
+def calibrate_act_scales(
+    model: DeepIMFlowNet,
+    variables,
+    inputs: Iterable[jax.Array],
+) -> tuple:
+    """Measure per-layer activation max-abs → static int8 scales.
+
+    ``inputs`` iterates assembled network-input batches (the (B, H, W, C)
+    tensors the refine loop feeds the CNN — build them with
+    ``refine.build_network_inputs`` so calibration sees the true input
+    distribution).  Returns a sorted, hashable tuple of
+    ``(layer_name, scale)`` pairs for ``DeepIMFlowNet(act_scales=...)`` /
+    ``model.clone(act_scales=...)``.
+
+    The max is taken across ALL calibration batches; scale = amax / 127
+    (symmetric, zero-point 0 — clipping saturates anything beyond the
+    calibrated range).
+    """
+    qm = model.clone(quant="int8", act_scales=())
+    fwd = jax.jit(lambda v, x: qm.apply(v, x, pose_only=True,
+                                        mutable=["quant_stats"])[1])
+    amax: dict[str, float] = {}
+    n_batches = 0
+    for x in inputs:
+        n_batches += 1
+        stats = jax.device_get(fwd(variables, x))["quant_stats"]
+        flat = jax.tree_util.tree_flatten_with_path(stats)[0]
+        for path, value in flat:
+            # sow path: (<layer module name>, "amax")
+            name = path[-2].key
+            amax[name] = max(amax.get(name, 0.0), float(value))
+    if n_batches == 0:
+        raise ValueError("calibrate_act_scales needs >=1 input batch")
+    return tuple(sorted((k, v / 127.0 if v > 0 else 1.0 / 127.0)
+                        for k, v in amax.items()))

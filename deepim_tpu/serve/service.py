@@ -77,7 +77,7 @@ class PoseRefinerService:
         self._np = np
         self._jax = jax
         self.assets, self.names, _ = load_assets_and_names(cfg)
-        self.model = make_model(cfg, self.assets.num_classes)
+        self.model = make_model(cfg, self.assets.num_classes, inference=True)
         state = init_state(cfg, self.model, jax.random.PRNGKey(0))
         self.step = 0
         if load_checkpoint:

@@ -53,9 +53,24 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def make_model(cfg: Config, num_classes: int) -> DeepIMFlowNet:
+def make_model(cfg: Config, num_classes: int,
+               inference: bool = False) -> DeepIMFlowNet:
+    """Build the network from cfg.
+
+    ``inference=True`` applies eval-only variants — currently
+    ``network.quant`` (int8 inference).  Training always builds the plain
+    model: quantized rounding has no gradient.  Both variants share one
+    parameter tree, so checkpoints are interchangeable.
+
+    ``quant="int8_static"`` builds the DYNAMIC int8 model here; entry
+    points that can calibrate (cli.test, bench.py) upgrade it afterwards
+    via ``model.clone(act_scales=calibrate_act_scales(...))`` — static
+    scales need representative inputs, which only the driver has.
+    """
     n = cfg.network
+    q = n.quant if inference else "none"
     return DeepIMFlowNet(
+        quant="int8" if q.startswith("int8") else q,
         num_classes=1 if n.class_agnostic else num_classes,
         rot_type=n.rot_type,
         with_flow=n.with_flow,

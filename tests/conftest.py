@@ -21,5 +21,14 @@ import jax  # noqa: E402  (may already be imported by sitecustomize)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite's wall clock is dominated by
+# XLA:CPU compiles (same programs every run).  Cache executables across
+# runs so re-runs pay tracing only.  Keyed by jax version + flags, so a
+# toolchain bump invalidates it automatically.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,115 @@
+"""int8 quantized-inference tests (network.quant).
+
+The quantized model must (a) own the exact same parameter tree as the
+plain model so checkpoints are interchangeable, (b) reproduce a numpy
+integer oracle bit-for-bit in its quantized ops, and (c) track the f32
+model's pose outputs closely on random weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepim_tpu.models.flownet import (
+    Conv, DeepIMFlowNet, QDense, _int8_conv, _quantize_int8,
+)
+
+
+def _tree_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(k): v.shape for k, v in flat}
+
+
+def test_quant_param_tree_matches_plain():
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=True,
+              with_mask=True, fc_dim=32)
+    x = jnp.zeros((1, 64, 64, 6))
+    p_plain = DeepIMFlowNet(**kw).init(jax.random.PRNGKey(0), x)
+    p_quant = DeepIMFlowNet(**kw, quant="int8").init(jax.random.PRNGKey(0), x)
+    assert _tree_paths(p_plain) == _tree_paths(p_quant)
+    # identical init values too (same param names, shapes, initializers)
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_quant)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_conv_matches_numpy_oracle():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 10, 12, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    y = np.asarray(_int8_conv(x, k, (1, 1), "SAME"))
+
+    # numpy oracle: quantize identically, integer conv in f64 (exact for
+    # int8 products), dequantize.
+    def q(a, axes):
+        amax = np.maximum(np.abs(a).max(axis=axes, keepdims=True), 1e-12)
+        s = amax / 127.0
+        return np.clip(np.round(a / s), -127, 127), s
+
+    xq, sx = q(np.asarray(x), (1, 2, 3))
+    kq, sk = q(np.asarray(k), (0, 1, 2))
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((2, 10, 12, 7))
+    for i in range(10):
+        for j in range(12):
+            patch = xp[:, i:i + 3, j:j + 3, :]
+            ref[:, i, j, :] = np.einsum("bhwc,hwco->bo", patch, kq)
+    ref = ref * sx * sk.reshape(1, 1, 1, -1)
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_quantize_int8_scale_and_range():
+    x = jnp.asarray([[0.0, -2.0, 1.0, 0.5]])
+    q, s = _quantize_int8(x, axes=(1,))
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(s), 2.0 / 127.0, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(q), [[0, -127, 64, 32]])
+
+
+def test_qdense_matches_dense_closely():
+    from flax import linen as nn
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    dense = nn.Dense(16, param_dtype=jnp.float32)
+    params = dense.init(jax.random.PRNGKey(1), x)
+    y_ref = dense.apply(params, x)
+    y_q = QDense(16).apply(params, x)
+    err = np.abs(np.asarray(y_q - y_ref))
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert err.max() / scale < 0.02
+
+
+def test_quant_conv_matches_f32_closely():
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 16, 16, 6))
+    plain = Conv(8, 3, 2, jnp.float32)
+    params = plain.init(jax.random.PRNGKey(2), x)
+    y_ref = plain.apply(params, x)
+    y_q = Conv(8, 3, 2, jnp.float32, quant="int8").apply(params, x)
+    err = np.abs(np.asarray(y_q - y_ref)).max()
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert err / scale < 0.03
+
+
+def test_quant_model_pose_outputs_close():
+    """Full pose path (encoder + FCs) through int8 stays close to f32."""
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=False,
+              with_mask=False, fc_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 6)) * 0.3
+    model = DeepIMFlowNet(**kw)
+    params = model.init(jax.random.PRNGKey(1), x)
+    # the final heads are zero-init; randomize them so outputs carry the
+    # quantization error of everything upstream
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(jax.random.PRNGKey(5), v.shape) * 0.05
+                      if "fc_rot" in jax.tree_util.keystr(p)
+                      or "fc_trans" in jax.tree_util.keystr(p) else v),
+        params,
+    )
+    out_ref = model.apply(params, x, pose_only=True)
+    out_q = DeepIMFlowNet(**kw, quant="int8").apply(params, x,
+                                                    pose_only=True)
+    for key in ("rot_raw", "trans"):
+        ref, got = np.asarray(out_ref[key]), np.asarray(out_q[key])
+        scale = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(got - ref).max() / scale < 0.08, key
