@@ -38,11 +38,17 @@ COARSE_ITERS = int(os.environ.get("BENCH_COARSE", "2"))
 PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE", "8"))
 # BENCH_QUANT=int8: run the encoder convs + pose-head FCs as symmetric
 # int8 MXU matmuls (dynamic activation scales, per-channel weight
-# scales; same parameter tree — see models/flownet.py).  Default off:
-# the headline stays the bf16 protocol until the int8 accuracy delta is
+# scales; same parameter tree — see models/flownet.py).
+# BENCH_QUANT=int8_static: calibrated static activation scales (no
+# max-abs pass; inter-layer HBM tensors are int8).  Default off: the
+# headline stays the bf16 protocol until the int8 accuracy delta is
 # validated on a trained checkpoint (tests/test_quant.py bounds it on
-# random weights).
+# random weights).  Anything else fails fast — a typo must not record a
+# "quantized" run that silently measured the plain path.
 QUANT = os.environ.get("BENCH_QUANT", "none")
+if QUANT not in ("none", "int8", "int8_static"):
+    raise SystemExit(f"BENCH_QUANT={QUANT!r} is not one of "
+                     "('none', 'int8', 'int8_static')")
 # Wait up to this long for the device to answer before benchmarking: the
 # experimental axon TPU tunnel goes down for tens of minutes at a time
 # (server-side), and a bench launched into a dead backend would record
@@ -116,7 +122,8 @@ def main() -> int:
     )
     model = DeepIMFlowNet(num_classes=assets.num_classes,
                           head_grid=bottleneck_grid(480, 640),
-                          quant=QUANT)
+                          quant="int8" if QUANT.startswith("int8")
+                          else QUANT)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 480, 640, 6)))
 
@@ -128,6 +135,16 @@ def main() -> int:
     class_idx = jax.random.randint(kc, (BATCH,), 0, assets.num_classes)
     obs = jax.random.uniform(ko, (BATCH, 480, 640, 3))
     ks = jnp.tile(k_cam[None], (BATCH, 1, 1))
+
+    if QUANT == "int8_static":
+        # Calibrate static activation scales on the bench batch itself
+        # (scales only affect accuracy, not the timed program shape).
+        from deepim_tpu.models.quant import calibrate_model
+
+        model = calibrate_model(
+            model, variables, assets,
+            [{"obs_rgb": obs, "pose_src": init, "class_idx": class_idx}],
+            k_cam, (480, 640), renderer=renderer)
 
     def run_async():
         return refine_poses(

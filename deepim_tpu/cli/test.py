@@ -42,9 +42,11 @@ def parse_args(argv=None):
                         "results ({i:06d}.mat ordered by keyframe.txt) "
                         "used as init poses (dataset.name=ycb_video only)")
     p.add_argument("--quant", default="",
-                   help="override cfg.network.quant for this eval "
-                        "('int8' or 'none'): A/B the quantized-inference "
-                        "path against the same checkpoint")
+                   choices=("", "none", "int8", "int8_static"),
+                   help="override cfg.network.quant for this eval: A/B "
+                        "the quantized-inference path against the same "
+                        "checkpoint ('int8_static' first runs a short "
+                        "activation-scale calibration over eval batches)")
     p.add_argument("--save-poses", action="store_true",
                    help="write per-sample refined pose trajectories to "
                         "refined_poses.npz (reference pred_eval stores "
@@ -309,6 +311,21 @@ def main(argv=None):
         from deepim_tpu.data.lm6d import prefetch_iter
 
         stream = prefetch_iter(stream)
+    if cfg.network.quant == "int8_static" and not args.no_refine:
+        # Calibrate static activation scales on the first eval batches
+        # (models/quant.py): the dynamic-int8 model sows per-layer max-abs,
+        # the clone carries them as fixed scales.  The consumed batches are
+        # chained back so the eval still covers every sample.
+        import itertools
+
+        from deepim_tpu.models.quant import calibrate_model
+
+        calib = list(itertools.islice(stream, 2))
+        model = calibrate_model(model, state.params, assets, calib, k_cam,
+                                out_size, renderer=cfg.test.renderer)
+        stream = itertools.chain(calib, stream)
+        print(f"int8_static: calibrated activation scales on "
+              f"{len(calib)} batches")
     ks_b = jnp.tile(k_cam[None], (bs, 1, 1))  # same intrinsics every batch
     trajs = []  # per-batch (iters+1, bs, 3, 4) pose trajectories (tiny)
     gt_parts, cls_parts = [], []

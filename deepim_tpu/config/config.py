@@ -58,12 +58,14 @@ class NetworkConfig:
     # tests/test_convert_math.py).  Default off: self-trained SAME
     # checkpoints stay loadable.
     mxnet_pad: bool = False
-    # Quantized INFERENCE ("int8"): encoder convs + pose-head FCs run as
-    # symmetric int8 matmuls on the MXU (dynamic per-sample activation
-    # scales, per-output-channel weight scales).  Applied only by
-    # inference entry points (cli.test/serve/bench) — training always
+    # Quantized INFERENCE: "int8" (dynamic per-sample activation scales,
+    # per-output-channel weight scales) or "int8_static" (calibrated
+    # static activation scales — entry points run a short calibration
+    # pass over real batches first; see models/quant.py).  Applied only
+    # by inference entry points (cli.test/serve/bench) — training always
     # runs the configured f32/bf16 dtype, and the parameter tree is
     # unchanged, so any checkpoint serves both modes.  "none" = off.
+    # Validated against QUANT_MODES at config load.
     quant: str = "none"
 
 
@@ -202,6 +204,21 @@ class Config:
     experiment: str = "default"
 
 
+# cfg.network.quant values the entry points understand (defined here, not
+# models/quant.py, so config stays import-cycle-free; quant.py re-exports).
+QUANT_MODES = ("none", "int8", "int8_static")
+
+
+def _validate(cfg: "Config") -> "Config":
+    """Reject config values that would otherwise fail silently downstream."""
+    if cfg.network.quant not in QUANT_MODES:
+        raise ValueError(
+            f"network.quant={cfg.network.quant!r} is not one of "
+            f"{QUANT_MODES} — a typo here would silently run the plain "
+            "unquantized path")
+    return cfg
+
+
 def _merge(dc, overrides: dict[str, Any]):
     """Deep-merge a dict onto a dataclass (reference ``update_config``
     semantics: unknown keys are errors, nested dicts recurse)."""
@@ -226,11 +243,11 @@ def update_config(yaml_path: str, base: Config | None = None) -> Config:
     """Load an experiment YAML over the defaults -> Config."""
     with open(yaml_path) as f:
         overrides = yaml.safe_load(f) or {}
-    return _merge(base or Config(), overrides)
+    return _validate(_merge(base or Config(), overrides))
 
 
 def config_from_dict(overrides: dict[str, Any], base: Config | None = None) -> Config:
-    return _merge(base or Config(), overrides)
+    return _validate(_merge(base or Config(), overrides))
 
 
 def save_config(cfg: Config, path: str) -> None:

@@ -76,10 +76,16 @@ def _int8_conv(x, kernel, strides, padding, act_scale=None):
     ``act_scale`` (a calibrated python float) is given, one static scale
     with no reduction pass (see :func:`_quantize_int8_static`).  Weights
     use per-output-channel scales (axes 0-2); the int32 accumulator is
-    exact (|sum| < 8k·127² per tap row, far inside int32), so the only
-    error is the two roundings.  The MXU runs int8×int8→int32 at twice
-    the bf16 rate on v5e — this is the inference-throughput lever.
+    exact as long as the contraction depth K satisfies K·127² < 2³¹
+    (asserted below at trace time; the repo's worst case is the pose
+    head's fc1 at K = 8·10·1024 = 81,920 → ≈1.32e9, a ~1.6× margin —
+    see QDense), so the only error is the two roundings.  The MXU runs
+    int8×int8→int32 at twice the bf16 rate on v5e — this is the
+    inference-throughput lever.
     """
+    k_depth = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
+    assert k_depth * 127 * 127 < 2 ** 31, (
+        f"int8 conv contraction depth {k_depth} could overflow int32")
     if act_scale is not None:
         xq, sx = _quantize_int8_static(x, act_scale), act_scale
     else:
@@ -121,7 +127,11 @@ class Conv(nn.Module):
                 (self.kernel, self.kernel, x.shape[-1], self.features),
                 name="Conv_0",
             )()
-            if self.act_scale is None:  # dynamic mode doubles as calibration
+            if self.act_scale is None and not self.is_initializing():
+                # dynamic mode doubles as calibration; guarded so init()
+                # (which makes every collection mutable) keeps the variable
+                # tree identical to the plain model's — checkpoints restore
+                # interchangeably (tests/test_quant.py).
                 self.sow("quant_stats", "amax",
                          jnp.max(jnp.abs(x)).astype(jnp.float32),
                          reduce_fn=jnp.maximum,
@@ -186,8 +196,10 @@ class StemConv(nn.Module):
         c = x.shape[-1]
         kernel, bias = _ConvParams((kk, kk, c, self.features),
                                    name="Conv_0")()
-        if self.quant == "int8" and self.act_scale is None:
-            # s2d only rearranges (and zero-pads) x, so amax(xs) == amax(x)
+        if (self.quant == "int8" and self.act_scale is None
+                and not self.is_initializing()):
+            # s2d only rearranges (and zero-pads) x, so amax(xs) == amax(x);
+            # init-guarded to keep the init variable tree checkpoint-clean.
             self.sow("quant_stats", "amax",
                      jnp.max(jnp.abs(x)).astype(jnp.float32),
                      reduce_fn=jnp.maximum,
@@ -250,6 +262,11 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # int32 accumulator exactness bound (the repo's worst case is fc1's
+        # 8·10·1024 = 81,920-deep contraction: ·127² ≈ 1.32e9, ~1.6x margin)
+        assert x.shape[-1] * 127 * 127 < 2 ** 31, (
+            f"int8 dense contraction depth {x.shape[-1]} could overflow "
+            "int32")
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -257,10 +274,11 @@ class QDense(nn.Module):
         if self.act_scale is not None:
             xq, sx = _quantize_int8_static(x, self.act_scale), self.act_scale
         else:
-            self.sow("quant_stats", "amax",
-                     jnp.max(jnp.abs(x)).astype(jnp.float32),
-                     reduce_fn=jnp.maximum,
-                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            if not self.is_initializing():  # keep init tree checkpoint-clean
+                self.sow("quant_stats", "amax",
+                         jnp.max(jnp.abs(x)).astype(jnp.float32),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
             xq, sx = _quantize_int8(x, axes=(1,))
         kq, sk = _quantize_int8(kernel, axes=(0,))
         y = jax.lax.dot_general(xq, kq, (((1,), (0,)), ((), ())),

@@ -26,12 +26,10 @@ from typing import Iterable
 
 import jax
 
+from deepim_tpu.config.config import QUANT_MODES  # noqa: F401 (re-export)
 from deepim_tpu.models.flownet import DeepIMFlowNet
 
-__all__ = ["calibrate_act_scales", "QUANT_MODES"]
-
-# cfg.network.quant values understood by the entry points.
-QUANT_MODES = ("none", "int8", "int8_static")
+__all__ = ["calibrate_act_scales", "calibrate_model", "QUANT_MODES"]
 
 
 def calibrate_act_scales(
@@ -69,3 +67,45 @@ def calibrate_act_scales(
         raise ValueError("calibrate_act_scales needs >=1 input batch")
     return tuple(sorted((k, v / 127.0 if v > 0 else 1.0 / 127.0)
                         for k, v in amax.items()))
+
+
+def calibrate_model(
+    model: DeepIMFlowNet,
+    variables,
+    assets,
+    batches: Iterable[dict],
+    k_cam,
+    out_size: tuple[int, int],
+    renderer: str = "xla",
+) -> DeepIMFlowNet:
+    """``int8_static`` entry-point wiring: eval batches → calibrated model.
+
+    ``batches`` iterates eval-style batch dicts (``obs_rgb``, ``pose_src``,
+    ``class_idx`` [, ``obs_mask``, ``obs_depth``] — what ``cli.test``'s
+    batch streams yield); each is assembled into the exact CNN input the
+    refine loop feeds (``refine.build_network_inputs``, at the init pose —
+    the distribution iteration 1 sees), activation max-abs is measured,
+    and a clone of ``model`` carrying the static scales is returned.
+    Parameters are untouched — the clone loads/serves the same checkpoint.
+    """
+    import jax.numpy as jnp
+
+    from deepim_tpu.refine.refiner import build_network_inputs, gather_class
+
+    def inputs():
+        for b in batches:
+            pose = jnp.asarray(b["pose_src"])
+            cls = jnp.asarray(b["class_idx"])
+            ks = jnp.tile(jnp.asarray(k_cam)[None], (pose.shape[0], 1, 1))
+            obs_mask = b.get("obs_mask")
+            obs_depth = b.get("obs_depth")
+            ni = build_network_inputs(
+                model, gather_class(assets, cls), jnp.asarray(b["obs_rgb"]),
+                pose, ks, out_size, renderer,
+                obs_mask=None if obs_mask is None else jnp.asarray(obs_mask),
+                obs_depth=(None if obs_depth is None
+                           else jnp.asarray(obs_depth)),
+            )
+            yield ni.x
+    scales = calibrate_act_scales(model, variables, inputs())
+    return model.clone(quant="int8", act_scales=scales)

@@ -62,10 +62,11 @@ def make_model(cfg: Config, num_classes: int,
     model: quantized rounding has no gradient.  Both variants share one
     parameter tree, so checkpoints are interchangeable.
 
-    ``quant="int8_static"`` builds the DYNAMIC int8 model here; entry
-    points that can calibrate (cli.test, bench.py) upgrade it afterwards
-    via ``model.clone(act_scales=calibrate_act_scales(...))`` — static
-    scales need representative inputs, which only the driver has.
+    ``quant="int8_static"`` builds the DYNAMIC int8 model here; the
+    calibrating entry points (cli.test via ``models.quant
+    §calibrate_model``, bench.py's BENCH_QUANT=int8_static path) upgrade
+    it with calibrated static scales before running — static scales need
+    representative inputs, which only the driver has.
     """
     n = cfg.network
     q = n.quant if inference else "none"

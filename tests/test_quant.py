@@ -26,10 +26,113 @@ def test_quant_param_tree_matches_plain():
     x = jnp.zeros((1, 64, 64, 6))
     p_plain = DeepIMFlowNet(**kw).init(jax.random.PRNGKey(0), x)
     p_quant = DeepIMFlowNet(**kw, quant="int8").init(jax.random.PRNGKey(0), x)
+    # the ENTIRE variable tree must match — the calibration sow sites are
+    # init-guarded so quant checkpoints restore a plain-trained state
+    assert "quant_stats" not in p_quant
     assert _tree_paths(p_plain) == _tree_paths(p_quant)
     # identical init values too (same param names, shapes, initializers)
     for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_quant)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quant_stats_only_under_mutable():
+    """amax sows appear ONLY when quant_stats is explicitly mutable."""
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=False,
+              with_mask=False, fc_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 6))
+    model = DeepIMFlowNet(**kw, quant="int8")
+    params = model.init(jax.random.PRNGKey(1), x)
+    # plain apply: no mutable collections requested -> no stats, no error
+    model.apply(params, x, pose_only=True)
+    _, state = model.apply(params, x, pose_only=True,
+                           mutable=["quant_stats"])
+    stats = state["quant_stats"]
+    # every quantized layer records one scalar max-abs
+    for layer in ("conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+                  "conv5", "conv5_1", "conv6", "conv6_1", "fc1", "fc2"):
+        assert layer in stats, layer
+        assert np.asarray(stats[layer]["amax"]).shape == ()
+
+
+def test_int8_static_calibration_roundtrip():
+    """calibrate_act_scales -> clone: static output tracks dynamic int8,
+    and the static path never sows (the max-abs pass is gone)."""
+    from deepim_tpu.models.quant import calibrate_act_scales
+
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=False,
+              with_mask=False, fc_dim=32)
+    x1 = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 6)) * 0.3
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 6)) * 0.5
+    model = DeepIMFlowNet(**kw)
+    params = model.init(jax.random.PRNGKey(1), x1)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(jax.random.PRNGKey(5), v.shape) * 0.05
+                      if "fc_rot" in jax.tree_util.keystr(p)
+                      or "fc_trans" in jax.tree_util.keystr(p) else v),
+        params,
+    )
+    scales = calibrate_act_scales(model, params, [x1, x2])
+    names = [n for n, _ in scales]
+    assert "conv1" in names and "fc1" in names
+    assert all(s > 0 for _, s in scales)
+
+    static = model.clone(quant="int8", act_scales=scales)
+    # the static path has no sow: mutable apply returns an empty state
+    out_s, state = static.apply(params, x1, pose_only=True,
+                                mutable=["quant_stats"])
+    assert not state.get("quant_stats", {})
+    out_d = model.clone(quant="int8").apply(params, x1, pose_only=True)
+    for key in ("rot_raw", "trans"):
+        ref, got = np.asarray(out_d[key]), np.asarray(out_s[key])
+        scale = max(np.abs(ref).max(), 1e-3)
+        # static scales are per-layer (not per-sample) so outputs differ
+        # slightly; both sit within quantization error of f32
+        assert np.abs(got - ref).max() / scale < 0.1, key
+
+
+def test_calibrate_model_from_eval_batches():
+    """Entry-point wiring: eval batch dicts -> calibrated static model."""
+    from deepim_tpu.geometry.symmetry import rot_z_syms
+    from deepim_tpu.models import bottleneck_grid
+    from deepim_tpu.models.quant import calibrate_model
+    from deepim_tpu.raster.mesh import box_mesh, icosphere_mesh
+    from deepim_tpu.refine import build_assets
+
+    assets = build_assets(
+        [box_mesh((0.08, 0.1, 0.06)), icosphere_mesh(0.05)],
+        sym_transforms=[rot_z_syms(2), None], num_points=64,
+    )
+    h, w = 64, 128
+    k_cam = jnp.asarray([[300.0, 0, 64], [0, 300, 32], [0, 0, 1]])
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32, with_flow=False,
+                          with_mask=False, fc_dim=32,
+                          head_grid=bottleneck_grid(h, w), quant="int8")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 6)))
+    pose = jnp.tile(jnp.asarray([[1.0, 0, 0, 0.02], [0, 1, 0, 0.0],
+                                 [0, 0, 1, 0.6]])[None], (2, 1, 1))
+    batch = {
+        "obs_rgb": jax.random.uniform(jax.random.PRNGKey(1), (2, h, w, 3)),
+        "pose_src": pose,
+        "class_idx": jnp.asarray([0, 1]),
+    }
+    calibrated = calibrate_model(model, params, assets, [batch], k_cam,
+                                 (h, w), renderer="xla")
+    assert calibrated.quant == "int8"
+    assert len(calibrated.act_scales) >= 12  # every quantized layer
+    # the calibrated clone runs (static path, no mutable collections)
+    out = calibrated.apply(params, jnp.zeros((2, h, w, 6)), pose_only=True)
+    assert out["trans"].shape == (2, 2, 3)
+
+
+def test_config_rejects_bad_quant():
+    import pytest
+
+    from deepim_tpu.config import config_from_dict
+
+    with pytest.raises(ValueError, match="quant"):
+        config_from_dict({"network": {"quant": "in8"}})
+    for ok in ("none", "int8", "int8_static"):
+        config_from_dict({"network": {"quant": ok}})
 
 
 def test_int8_conv_matches_numpy_oracle():

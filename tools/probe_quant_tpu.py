@@ -1,32 +1,12 @@
 """TPU probe: int8 quantized inference vs plain, public API only."""
 import os
 import sys
-import time
-import subprocess
 
-_probe = (
-    "import os, jax;"
-    "_p = os.environ.get('JAX_PLATFORMS');"
-    "_p and jax.config.update('jax_platforms', _p.split(',')[0]);"
-    "import jax.numpy as jnp;"
-    "x = jnp.ones((8, 128)) * 2;"
-    "assert float((x @ x.T)[0, 0]) == 512.0"
-)
-_deadline = time.time() + int(os.environ.get("PROBE_WAIT", "3600"))
-while True:
-    try:
-        rc = subprocess.run([sys.executable, "-u", "-c", _probe], timeout=240,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL).returncode
-    except subprocess.TimeoutExpired:
-        rc = -1
-    if rc == 0:
-        break
-    if time.time() >= _deadline:
-        print("device never came up", flush=True)
-        sys.exit(2)
-    print("device probe failed; retrying in 60s", flush=True)
-    time.sleep(60)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _wait_for_device  # shared axon-tunnel retry loop
+
+_wait_for_device(int(os.environ.get("PROBE_WAIT", "3600")))
 
 import jax
 import jax.numpy as jnp
