@@ -42,9 +42,12 @@ class VideoDataset:
 
     def sequences(self) -> list[str]:
         d = os.path.join(self.root, "video_sets")
+        # keyframe.txt is the eval frame list, not a sequence (cli.track
+        # iterates sequences(); treating it as one crashes the tracker)
         return sorted(
             f[:-4] for f in os.listdir(d)
             if f.endswith(".txt") and not f.endswith("_objects.txt")
+            and f != "keyframe.txt"
         )
 
     def frame_ids(self, seq: str) -> list[str]:
@@ -138,10 +141,12 @@ class VideoDataset:
             for seq, fid in pairs:
                 f.write(f"{seq}/{fid}\n")
 
-    def load_keyframe(self, seq: str, frame: str, obj: str) -> dict:
-        """One keyframe's observation for one object (RGB [0,1], metric
-        depth, object mask).  Video labels use the per-sequence slot
-        convention (pixel = 1 + slot in ``{seq}_objects.txt``)."""
+    def load_frame_raw(self, seq: str, frame: str) -> dict:
+        """Decode one frame's shared images (RGB [0,1], metric depth, raw
+        label or None) ONCE.  Real YCB keyframes average ~4-5 objects per
+        scene; per-object masks are cut from the shared label by
+        :meth:`frame_mask` / ``iter_keyframe_batches`` so the PNG decode
+        is not repeated per object."""
         rgb = LM6DDataset._read_image(
             self._vid(seq, frame, "color.png")).astype(np.float32) / 255.0
         dpath = self._vid(seq, frame, "depth.png")
@@ -149,12 +154,25 @@ class VideoDataset:
                  / DEPTH_FACTOR if os.path.exists(dpath)
                  else np.zeros(rgb.shape[:2], np.float32))
         lpath = self._vid(seq, frame, "label.png")
-        if os.path.exists(lpath):
+        label = (LM6DDataset._read_image(lpath)
+                 if os.path.exists(lpath) else None)
+        return {"obs_rgb": rgb, "obs_depth": depth, "label": label}
+
+    def frame_mask(self, raw: dict, seq: str, obj: str) -> np.ndarray:
+        """One object's mask from a :meth:`load_frame_raw` dict.  Video
+        labels use the per-sequence slot convention (pixel = 1 + slot in
+        ``{seq}_objects.txt``); without a label, fall back to depth>0."""
+        if raw["label"] is not None:
             slot = self.objects_in(seq).index(obj)
-            mask = LM6DDataset._read_image(lpath) == (slot + 1)
-        else:
-            mask = depth > 0
-        return {"obs_rgb": rgb, "obs_depth": depth, "obs_mask": mask}
+            return raw["label"] == (slot + 1)
+        return raw["obs_depth"] > 0
+
+    def load_keyframe(self, seq: str, frame: str, obj: str) -> dict:
+        """One keyframe's observation for one object (RGB [0,1], metric
+        depth, object mask)."""
+        raw = self.load_frame_raw(seq, frame)
+        return {"obs_rgb": raw["obs_rgb"], "obs_depth": raw["obs_depth"],
+                "obs_mask": self.frame_mask(raw, seq, obj)}
 
     def keyframe_pose(self, seq: str, frame: str, obj: str) -> np.ndarray:
         return np.loadtxt(self._vid(seq, frame, f"pose_{obj}.txt"),
@@ -337,8 +355,21 @@ def iter_keyframe_batches(ds: VideoDataset, records, batch_size: int,
     assert n % batch_size == 0, "pad_to must be a batch multiple"
     recs = list(records) + [records[-1]] * (n - len(records))
     for i in range(0, n, batch_size):
-        frames = [ds.load_keyframe(r.scene, r.frame, r.obj)
-                  for r in recs[i : i + batch_size]]
+        # Records are grouped per keyframe (every object of a scene is a
+        # row), so cache the decoded frame within the batch: a 5-object
+        # scene decodes its PNGs once, not 5 times.
+        cache: dict[tuple[str, str], dict] = {}
+        frames = []
+        for r in recs[i : i + batch_size]:
+            key = (r.scene, r.frame)
+            if key not in cache:
+                cache[key] = ds.load_frame_raw(r.scene, r.frame)
+            raw = cache[key]
+            frames.append({
+                "obs_rgb": raw["obs_rgb"],
+                "obs_depth": raw["obs_depth"],
+                "obs_mask": ds.frame_mask(raw, r.scene, r.obj),
+            })
         yield {
             "obs_rgb": np.stack([f["obs_rgb"] for f in frames]),
             "obs_depth": np.stack([f["obs_depth"] for f in frames]),

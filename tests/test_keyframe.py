@@ -66,6 +66,31 @@ def test_keyframe_batches_and_masks(video_ds):
     assert not (m_box & m_ico).any()
 
 
+def test_keyframe_batches_decode_each_frame_once(video_ds, monkeypatch):
+    """A multi-object scene decodes its PNGs once per keyframe, not once
+    per object — and the deduped batches match the naive per-record path."""
+    recs = keyframe_records(video_ds)
+    bs = len(recs)  # one batch holding every record
+    naive = [video_ds.load_keyframe(r.scene, r.frame, r.obj) for r in recs]
+
+    calls = []
+    orig = VideoDataset.load_frame_raw
+
+    def counting(self, seq, frame):
+        calls.append((seq, frame))
+        return orig(self, seq, frame)
+
+    monkeypatch.setattr(VideoDataset, "load_frame_raw", counting)
+    (batch,) = iter_keyframe_batches(video_ds, recs, bs)
+    unique_frames = {(r.scene, r.frame) for r in recs}
+    assert len(calls) == len(unique_frames)  # 3 keyframes, 6 records
+    assert len(calls) < len(recs)
+    for i, f in enumerate(naive):
+        np.testing.assert_array_equal(batch["obs_rgb"][i], f["obs_rgb"])
+        np.testing.assert_array_equal(batch["obs_depth"][i], f["obs_depth"])
+        np.testing.assert_array_equal(batch["obs_mask"][i], f["obs_mask"])
+
+
 def test_posecnn_mat_import(video_ds, tmp_path):
     scipy_io = pytest.importorskip("scipy.io")
     from deepim_tpu.geometry.rotations import mat2quat
