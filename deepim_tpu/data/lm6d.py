@@ -177,8 +177,10 @@ class LM6DDataset:
         save_ply(self.model_path(obj), mesh)
 
     def write_frame(self, scene: str, frame: str, rgb: np.ndarray,
-                    depth: np.ndarray, label: np.ndarray,
+                    depth: np.ndarray, label: np.ndarray | None,
                     poses: dict[str, np.ndarray]) -> None:
+        """``label=None`` writes no label png (sources without masks, e.g.
+        the original LINEMOD release) — readers then use depth>0."""
         d = os.path.join(self.root, "data", "observed", scene)
         os.makedirs(d, exist_ok=True)
         Image.fromarray(
@@ -187,9 +189,10 @@ class LM6DDataset:
         Image.fromarray(
             (depth * DEPTH_FACTOR).astype(np.uint16)
         ).save(self._obs(scene, frame, "depth.png"))
-        Image.fromarray(label.astype(np.uint8)).save(
-            self._obs(scene, frame, "label.png")
-        )
+        if label is not None:
+            Image.fromarray(label.astype(np.uint8)).save(
+                self._obs(scene, frame, "label.png")
+            )
         for obj, pose in poses.items():
             np.savetxt(self._obs(scene, frame, f"pose_{obj}.txt"),
                        np.asarray(pose, np.float32))

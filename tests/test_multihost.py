@@ -22,6 +22,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+@pytest.mark.dist
 def test_two_process_distributed_train_step():
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -307,6 +307,7 @@ def test_train_step_and_iterative(assets):
 
 
 @pytest.mark.slow
+@pytest.mark.dist
 def test_sharded_step_matches_single(assets):
     """8-way DP on the CPU mesh == single-device step on the same batch."""
     cfg = tiny_cfg()
@@ -331,6 +332,7 @@ def test_sharded_step_matches_single(assets):
 
 
 @pytest.mark.slow
+@pytest.mark.dist
 def test_synthetic_train_step_sharded(assets):
     cfg = tiny_cfg()
     model = make_model(cfg, assets.num_classes)
@@ -442,24 +444,32 @@ def test_pretrained_partial_init(assets, tmp_path):
 @pytest.mark.slow
 def test_micro_overfit(assets):
     """Loss decreases markedly on a fixed tiny batch (end-to-end gradient
-    sanity — the reference's only 'test' was full training runs)."""
+    sanity — the reference's only 'test' was full training runs).  The
+    unused flow/mask heads are disabled (w_*=0 anyway) and the batch kept
+    small: this is a gradient-direction test, not a capacity test."""
+    import dataclasses
+
     cfg = tiny_cfg(w_flow=0.0, w_mask=0.0, lr=3e-4, optimizer="adam",
-                   weight_decay=0.0)
+                   weight_decay=0.0, batch_size=4)
+    cfg = dataclasses.replace(
+        cfg, network=dataclasses.replace(cfg.network, with_flow=False,
+                                         with_mask=False))
     model = make_model(cfg, assets.num_classes)
     state = init_state(cfg, model, jax.random.PRNGKey(0))
     step = make_train_step(model, assets, cfg)
-    batch = synthetic_batch(jax.random.PRNGKey(5), assets, 8, K_CAM, (H, W),
+    batch = synthetic_batch(jax.random.PRNGKey(5), assets, 4, K_CAM, (H, W),
                             renderer="xla")
     losses, rot_errs = [], []
-    for _ in range(110):
+    for _ in range(80):
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
         rot_errs.append(float(metrics["rot_err_deg_0"]))
-    assert min(losses) < losses[0] * 0.5, losses[::20]
-    assert min(rot_errs) < rot_errs[0] * 0.7, rot_errs[::20]
+    assert min(losses) < losses[0] * 0.5, losses[::10]
+    assert min(rot_errs) < rot_errs[0] * 0.7, rot_errs[::10]
 
 
 @pytest.mark.slow
+@pytest.mark.dist
 def test_gspmd_tp_step_matches_single(assets):
     """GSPMD DP+TP ((4, 2) mesh, pose-head FCs sharded over 'model') gives
     the same loss and updated params as the single-device step."""
