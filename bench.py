@@ -92,7 +92,84 @@ def _wait_for_device(budget_sec: int) -> None:
         time.sleep(60)
 
 
+def bench_train() -> int:
+    """BENCH_TRAIN=1: flagship training-step throughput + MFU.
+
+    Runs the fused generate+train step of the flagship config
+    (``experiments/cfgs/synthetic_all.yaml``: 480x640 input, flow+mask aux
+    heads, iterative pairs) on the current device and reports steps/s,
+    samples/s, and an XLA-costed MFU estimate (fwd+bwd FLOPs from
+    ``Compiled.cost_analysis`` — not a hand count).  The inference
+    headline is the default mode; this answers SURVEY §2.4's "is it
+    actually fast" for the training direction.  BENCH_TRAIN_BATCH
+    overrides the config batch size.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepim_tpu.config import update_config
+    from deepim_tpu.raster.camera import make_intrinsics
+    from deepim_tpu.train.train import (
+        init_state, make_model, make_synthetic_train_step,
+    )
+    from deepim_tpu.cli.train import load_assets_and_names
+
+    cfg = update_config(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "experiments", "cfgs", "synthetic_all.yaml"))
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", "0"))
+    if bs:
+        cfg.train.batch_size = bs
+    if jax.devices()[0].platform != "tpu":
+        cfg.train.renderer = "xla"
+    assets, names, syms = load_assets_and_names(cfg)
+    model = make_model(cfg, assets.num_classes)
+    state = init_state(cfg, model, jax.random.PRNGKey(0))
+    k_cam = make_intrinsics(cfg.dataset.fx, cfg.dataset.fy,
+                            cfg.dataset.cx, cfg.dataset.cy)
+    step = make_synthetic_train_step(model, assets, cfg, k_cam)
+
+    key = jax.random.PRNGKey(1)
+    lowered = step.lower(state, key)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:  # not all backends expose cost analysis
+        flops_per_step = 0.0
+
+    state, metrics = compiled(state, key)  # warm (already compiled)
+    float(metrics["loss"])  # scalar read = hard sync (see sync() below)
+    reps = 10
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, metrics = compiled(state, jax.random.fold_in(key, i))
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / reps
+
+    peak = 197e12 if jax.devices()[0].platform == "tpu" else float("nan")
+    mfu = flops_per_step / dt / peak if flops_per_step else float("nan")
+    print(json.dumps({
+        "metric": "train_steps_per_sec_flagship",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "batch": cfg.train.batch_size,
+        "samples_per_sec": round(cfg.train.batch_size / dt, 1),
+        "train_iter_pairs": cfg.train.train_iter,
+        "xla_flops_per_step": flops_per_step,
+        "est_mfu": round(mfu, 3) if mfu == mfu else None,
+        "input": [cfg.network.input_height, cfg.network.input_width],
+    }))
+    return 0
+
+
 def main() -> int:
+    if os.environ.get("BENCH_TRAIN"):
+        if WAIT_FOR_DEVICE_SEC:
+            _wait_for_device(WAIT_FOR_DEVICE_SEC)
+        return bench_train()
     if WAIT_FOR_DEVICE_SEC:
         _wait_for_device(WAIT_FOR_DEVICE_SEC)
     import jax

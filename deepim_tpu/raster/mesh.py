@@ -1279,3 +1279,61 @@ def sample_points(mesh: Mesh, n: int = 3000, seed: int = 0) -> np.ndarray:
     s = np.sqrt(r1)
     pts = (1 - s) * v0[fidx] + s * (1 - r2) * v1[fidx] + s * r2 * v2[fidx]
     return pts.astype(np.float32)
+
+
+def cull_direction(mesh: Mesh) -> float:
+    """Back-face-cull safety check -> 0.0 (unsafe) or ±1.0 (cull sign).
+
+    Culling a face whose screen-space signed area ``d`` satisfies
+    ``d * cull_direction >= 0`` is EXACT (the face is also drawn by OpenGL,
+    but always behind a front face) iff the mesh is a closed, consistently
+    oriented surface.  This checks both on the host at asset-build time:
+
+    - **consistent + closed**: after merging coincident vertices (seam
+      duplicates from sharp edges / UV splits are common), every directed
+      edge of every non-degenerate face appears exactly once, and its
+      reverse also appears exactly once;
+    - **orientation sign**: the signed volume (divergence theorem) gives
+      the winding handedness; with the project-then-y-down screen
+      convention, outward-wound (positive-volume) meshes project FRONT
+      faces to ``d < 0``, so the KEEP predicate is
+      ``d * sign(volume) < 0``.
+
+    Returns ``sign(volume)`` when safe, else 0.0 (renderers treat 0 as
+    "cull disabled").  The reference's GL renderer draws both sides
+    (``lib/render_glumpy/render_py.py`` never enables GL_CULL_FACE); for
+    the closed meshes this check accepts, the rendered output is identical
+    up to z-fighting at silhouette-grazing pixels.
+    """
+    v = np.asarray(mesh.vertices, np.float64)
+    f = np.asarray(mesh.faces, np.int64)
+    if f.shape[0] == 0:
+        return 0.0
+    # Merge coincident vertices so seam-duplicated meshes (box/cylinder
+    # constructors, OBJ UV splits) still read as closed surfaces.
+    _, remap = np.unique(v.round(9), axis=0, return_inverse=True)
+    fm = remap[f]
+    nondegen = (
+        (fm[:, 0] != fm[:, 1]) & (fm[:, 1] != fm[:, 2])
+        & (fm[:, 0] != fm[:, 2])
+    )
+    fm = fm[nondegen]
+    if fm.shape[0] == 0:
+        return 0.0
+    edges = np.concatenate([fm[:, [0, 1]], fm[:, [1, 2]], fm[:, [2, 0]]])
+    # Each directed edge exactly once...
+    keys = edges[:, 0] * (remap.max() + 1) + edges[:, 1]
+    if np.unique(keys).shape[0] != keys.shape[0]:
+        return 0.0
+    # ...and its reverse exactly once (closed, consistently oriented).
+    rev = edges[:, 1] * (remap.max() + 1) + edges[:, 0]
+    if not np.isin(keys, rev).all():
+        return 0.0
+    vol = np.einsum(
+        "ij,ij->i", v[f[:, 0]], np.cross(v[f[:, 1]], v[f[:, 2]])
+    ).sum() / 6.0
+    # Degenerate (flat) "solids" have ~zero volume: no reliable side.
+    scale = float(np.abs(v).max()) or 1.0
+    if abs(vol) < 1e-12 * scale**3:
+        return 0.0
+    return float(np.sign(vol))

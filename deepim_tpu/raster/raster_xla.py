@@ -95,12 +95,15 @@ def render_mesh(
     lighting: Lighting = FLAT_LIGHTING,
     z_near: float = 0.01,
     chunk: int = 64,
+    cull_dir=None,  # scalar ±1 back-face cull sign, None/0 = two-sided
 ) -> tuple[jax.Array, jax.Array]:
     """Render one mesh at one pose -> (rgb (H, W, 3), depth (H, W)).
 
     depth == 0 marks background.  ``vmap`` over (pose,) — or over
     (vertices, faces, colors, normals, pose) for per-sample objects —
-    batches hypotheses.
+    batches hypotheses.  ``cull_dir`` matches the Pallas path's back-face
+    culling (``mesh.cull_direction`` sign; exact for closed meshes) so
+    the oracle can be compared cull-for-cull.
     """
     h, w = image_size
     screen, z = project_vertices(vertices, pose, k)
@@ -117,6 +120,14 @@ def render_mesh(
     tri_z = _face_gather(z, faces_p)  # (F', 3)
     # Near-plane reject (whole face) + padding reject.
     face_ok = valid_face & jnp.all(tri_z > z_near, axis=-1)
+    if cull_dir is not None:
+        # Same predicate as raster_pallas._plane_pack: screen-space signed
+        # area (cyclic-permutation invariant) against the cull sign.
+        d = ((tri_xy[:, 1, 1] - tri_xy[:, 2, 1])
+             * (tri_xy[:, 0, 0] - tri_xy[:, 2, 0])
+             + (tri_xy[:, 2, 0] - tri_xy[:, 1, 0])
+             * (tri_xy[:, 0, 1] - tri_xy[:, 2, 1]))
+        face_ok = face_ok & ((cull_dir == 0.0) | (d * cull_dir < 0.0))
 
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5  # u
     py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5  # v

@@ -41,7 +41,7 @@ def tri_uv_corner_major(mesh) -> "np.ndarray":  # noqa: F821 (doc type)
 
 
 def pack_tri_params_uv(tri_pos, tri_uv, tri_nrm, pose, k,
-                       lighting: Lighting, z_near: float):
+                       lighting: Lighting, z_near: float, cull_dir=None):
     """Like ``pack_tri_params`` but color planes carry (u, v, intensity).
 
     ``tri_pos/tri_nrm`` are (9, F) corner-major; ``tri_uv`` is (6, F).
@@ -54,6 +54,7 @@ def pack_tri_params_uv(tri_pos, tri_uv, tri_nrm, pose, k,
     return pack_corner_major(
         tri_pos, tri_nrm, pose, k, lighting, z_near,
         lambda c, intensity: (tri_uv[2 * c], tri_uv[2 * c + 1], intensity),
+        cull_dir,
     )
 
 
@@ -139,20 +140,30 @@ def render_batch_textured(
     tex_idx: jax.Array | None = None,  # (B,) class index into the atlas
     max_faces_per_tile: int = 512,
     spans: tuple[int, int] = (4, 2),
+    cull_dir: jax.Array | None = None,  # (B,) ±1 cull sign, 0 = two-sided
 ) -> tuple[jax.Array, jax.Array]:
     """Textured render -> (rgb (B, H, W, 3), depth (B, H, W)).
 
     Raster pass interpolates (u, v, intensity); deferred pass samples the
     texture bilinearly and applies intensity.  Background stays 0.
-    ``max_faces_per_tile``/``spans`` tune the shared raster dispatch the
-    same way as the untextured ``render_batch_tri``.
+    ``max_faces_per_tile``/``spans``/``cull_dir`` tune the shared raster
+    dispatch the same way as the untextured ``render_batch_tri``.
     """
-    pack = jax.vmap(
-        lambda tp, tu, tn, p, kk: pack_tri_params_uv(
-            tp, tu, tn, p, kk, lighting, z_near
+    if cull_dir is None:
+        pack = jax.vmap(
+            lambda tp, tu, tn, p, kk: pack_tri_params_uv(
+                tp, tu, tn, p, kk, lighting, z_near
+            )
         )
-    )
-    params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses, ks)
+        params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses, ks)
+    else:
+        pack = jax.vmap(
+            lambda tp, tu, tn, p, kk, cd: pack_tri_params_uv(
+                tp, tu, tn, p, kk, lighting, z_near, cd
+            )
+        )
+        params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses, ks,
+                                     cull_dir)
     uvi, depth = _render_dispatch(params, bbox, face_ok, image_size,
                                   (32, 256), max_faces_per_tile, interpret,
                                   binning, spans)

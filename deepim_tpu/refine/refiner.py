@@ -76,6 +76,11 @@ class RenderAssets(NamedTuple):
     # loss takes the closed-form min over the continuous rotation instead
     # of (only) the discrete sym_poses set.
     sym_continuous: jax.Array | None = None  # (C,) bool
+    # Per-class back-face cull sign (±1), 0 = render two-sided.  Set by
+    # build_assets from ``mesh.cull_direction`` — nonzero only for closed
+    # consistently-wound meshes, where culling is exact and roughly halves
+    # the raster kernel's face workload (the refine loop's hottest op).
+    cull_dir: jax.Array | None = None  # (C,) float32
 
     @property
     def num_classes(self) -> int:
@@ -104,7 +109,7 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
         CONTINUOUS_Z, CONTINUOUS_Z_DISCRETE, sym_set,
     )
     from deepim_tpu.ops.zoom import model_corners
-    from deepim_tpu.raster.mesh import pad_mesh, sample_points
+    from deepim_tpu.raster.mesh import cull_direction, pad_mesh, sample_points
 
     sym_transforms = sym_transforms or [None] * len(meshes)
     sym_cont = np.asarray(
@@ -148,6 +153,9 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
             [p.normals[p.faces].reshape(-1, 9).T for p in padded]
         )),
         sym_continuous=jnp.asarray(sym_cont),
+        cull_dir=jnp.asarray(
+            np.asarray([cull_direction(m) for m in meshes], np.float32)
+        ),
         **_texture_fields(meshes, padded, use_textures),
     )
 
@@ -245,6 +253,7 @@ def render_crops(
             interpret=renderer == "pallas_interpret",
             tex_idx=assets_b.tex_idx,
             max_faces_per_tile=max_faces_per_tile, spans=(8, 3),
+            cull_dir=assets_b.cull_dir,
         )
     if renderer in ("pallas", "pallas_interpret"):
         # spans (8, 3): the crop intrinsics make the object fill the
@@ -257,14 +266,23 @@ def render_crops(
             max_faces_per_tile=max_faces_per_tile,
             interpret=renderer == "pallas_interpret",
             spans=(8, 3),
+            cull_dir=assets_b.cull_dir,
         )
     if renderer == "xla":
+        if assets_b.cull_dir is None:
+            return jax.vmap(
+                lambda v, f, c, n, p, kk: raster_xla.render_mesh(
+                    v, f, c, n, p, kk, out_size, lighting=lighting
+                )
+            )(assets_b.vertices, assets_b.faces, assets_b.colors,
+              assets_b.normals, poses, ks)
         return jax.vmap(
-            lambda v, f, c, n, p, kk: raster_xla.render_mesh(
-                v, f, c, n, p, kk, out_size, lighting=lighting
+            lambda v, f, c, n, p, kk, cd: raster_xla.render_mesh(
+                v, f, c, n, p, kk, out_size, lighting=lighting,
+                cull_dir=cd,
             )
         )(assets_b.vertices, assets_b.faces, assets_b.colors,
-          assets_b.normals, poses, ks)
+          assets_b.normals, poses, ks, assets_b.cull_dir)
     raise ValueError(renderer)
 
 
@@ -323,22 +341,26 @@ def render_scene(
                   + (1.0 - tri_uv[:, 1::2, :]) * (th - 1))
         tri_uv = tri_uv.at[:, 1::2, :].set(
             1.0 - y_band / max(h_all - 1, 1))
+    cull_f = (jnp.take(assets.cull_dir, flat_cls, axis=0)
+              if assets.cull_dir is not None
+              else jnp.zeros_like(flat_cls, jnp.float32))
+    if assets.textured:
         pack = jax.vmap(
-            lambda tp, tu, tn, p, kk: pack_tri_params_uv(
-                tp, tu, tn, p, kk, lighting, 0.01
+            lambda tp, tu, tn, p, kk, cd: pack_tri_params_uv(
+                tp, tu, tn, p, kk, lighting, 0.01, cd
             )
         )
         params, bbox, face_ok = pack(tri_pos, tri_uv, tri_nrm, poses_f,
-                                     ks_f)
+                                     ks_f, cull_f)
     else:
         tri_col = jnp.take(assets.tri_col, flat_cls, axis=0)
         pack = jax.vmap(
-            lambda tp, tc, tn, p, kk: pack_tri_params(
-                tp, tc, tn, p, kk, lighting, 0.01
+            lambda tp, tc, tn, p, kk, cd: pack_tri_params(
+                tp, tc, tn, p, kk, lighting, 0.01, cd
             )
         )
         params, bbox, face_ok = pack(tri_pos, tri_col, tri_nrm, poses_f,
-                                     ks_f)
+                                     ks_f, cull_f)
     # (B*M, F, 24), (B*M, F, 4), (B*M, F)
     face_ok = face_ok & valid.reshape(-1)[:, None]
     f = params.shape[1]
