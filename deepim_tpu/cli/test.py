@@ -41,6 +41,15 @@ def parse_args(argv=None):
                    help="directory of PoseCNN released per-keyframe .mat "
                         "results ({i:06d}.mat ordered by keyframe.txt) "
                         "used as init poses (dataset.name=ycb_video only)")
+    p.add_argument("--init-rot-noise", type=float, default=-1.0,
+                   help="override the eval init-pose rotation noise std "
+                        "(degrees; max = 3x std).  The reference evaluates "
+                        "robustness across init qualities; gross values "
+                        "(e.g. 45) are the regime where multi-hypothesis "
+                        "selection earns its keep")
+    p.add_argument("--init-trans-noise", type=float, default=-1.0,
+                   help="override the eval init-pose translation noise std "
+                        "(meters, all axes; max = 3x std)")
     p.add_argument("--quant", default="",
                    choices=("", "none", "int8", "int8_static"),
                    help="override cfg.network.quant for this eval: A/B "
@@ -73,6 +82,12 @@ def main(argv=None):
     cfg = update_config(args.cfg)
     if args.quant:
         cfg.network.quant = args.quant
+    if args.init_rot_noise >= 0:
+        cfg.train.rot_noise_deg = args.init_rot_noise
+        cfg.train.rot_noise_max_deg = 3.0 * args.init_rot_noise
+    if args.init_trans_noise >= 0:
+        cfg.train.trans_noise = (args.init_trans_noise,) * 3
+        cfg.train.trans_noise_max = (3.0 * args.init_trans_noise,) * 3
     out_dir = os.path.join(cfg.output_dir, cfg.experiment)
     # eval-only runs (external/absent checkpoints) start from nothing
     os.makedirs(out_dir, exist_ok=True)

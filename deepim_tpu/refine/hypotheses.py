@@ -116,6 +116,7 @@ def refine_multi_hypothesis(
     obs_depth: jax.Array | None = None,  # (B, H, W) for input_depth models
     coarse_iters: int = 0,
     coarse_size: tuple[int, int] | None = None,
+    select_margin: float = 0.05,
 ) -> tuple[jax.Array, jax.Array]:
     """Refine ``num_hypotheses`` perturbations of each init, keep the best.
 
@@ -124,6 +125,26 @@ def refine_multi_hypothesis(
     through to :func:`refine_poses` so the multi-hypothesis path runs the
     SAME coarse-to-fine schedule as the single-hypothesis eval it is
     compared against.
+
+    ``select_margin``: a challenger replaces hypothesis 0 only when its
+    score beats hypothesis 0's by this much (score units = mean truncated
+    |RGB diff| ∈ [0, trunc]).  Rationale (measured on the occlusion
+    protocol): with mild inits every hypothesis converges to ≈ the same
+    pose and the RGB score's pixel noise is larger than the true quality
+    gap — an argmax then picks a *slightly worse* pose ~half the time and
+    multi-hypothesis lost 2.3 ADD points vs single-hypothesis.  Selection
+    exists to rescue GROSS failures (wrong basin), which win by far more
+    than the margin; hysteresis keeps the rescue and removes the noise
+    regression.  0.0 restores the plain argmax.
+
+    Margin calibration (occlusion protocol, 512 samples): converged
+    hypotheses tie within ~0.01-0.02 (obs lighting/noise + sub-pixel
+    jitter), while a wrong-basin pose loses by >>0.05 (its truncated
+    foreground diff saturates toward ``trunc``); 0.05 sits between the
+    two populations.  Measured: plain argmax LOST 2.3 ADD points vs
+    single-hypothesis on mild inits (selection noise), margin 0.01
+    recovered only 0.5; 0.05 removes the regression while still firing
+    on every -inf/diverged and wrong-basin case.
     """
     b = init_pose.shape[0]
     nh = num_hypotheses
@@ -156,6 +177,11 @@ def refine_multi_hypothesis(
     refined = refined.reshape(nh, b, 3, 4)
     scores = scores.reshape(nh, b)
     best = jnp.argmax(scores, axis=0)  # (B,)
+    # Hysteresis: fall back to hypothesis 0 unless the winner clears the
+    # margin (see docstring).  A diverged hypothesis 0 scores -inf, so any
+    # valid challenger still replaces it.
+    max_score = jnp.max(scores, axis=0)
+    best = jnp.where(max_score - scores[0] > select_margin, best, 0)
     best_pose = jnp.take_along_axis(
         refined, best[None, :, None, None].astype(jnp.int32), axis=0
     )[0]

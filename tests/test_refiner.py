@@ -200,6 +200,51 @@ def test_empty_render_scores_neg_inf(assets):
     assert s[0] > s[1]
 
 
+def test_multi_hypothesis_select_margin(assets):
+    """Selection hysteresis: hypothesis 0 is kept unless a challenger
+    clears the margin (noise-regression fix, see hypotheses.py), but a
+    diverged hypothesis 0 (-inf score) is always replaced."""
+    from deepim_tpu.refine.hypotheses import refine_multi_hypothesis
+
+    cls = jnp.array([0, 1])
+    k_small = jnp.array([[150.0, 0, 80], [0, 150.0, 48], [0, 0, 1]])
+    k = jnp.tile(k_small[None], (2, 1, 1))
+    gt = jnp.stack([_pose(0.3), _pose(-0.2, tx=0.05)])
+    from deepim_tpu.refine import gather_class
+    from deepim_tpu.refine.refiner import render_crops
+
+    ab = gather_class(assets, cls)
+    obs, _ = render_crops(ab, gt, k, (96, 160), "xla")
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+
+    # infinite margin == always hypothesis 0 == plain single-hypothesis
+    best_inf, _ = refine_multi_hypothesis(
+        variables, model, assets, obs, gt, k, cls, jax.random.PRNGKey(3),
+        num_hypotheses=4, num_iters=1, out_size=(H, W), renderer="xla",
+        select_margin=float("inf"),
+    )
+    np.testing.assert_allclose(np.asarray(best_inf), np.asarray(gt),
+                               atol=1e-4)
+
+    # hypothesis 0 diverged (behind camera) -> -inf score -> any finite
+    # challenger replaces it regardless of the margin
+    behind = gt.at[:, 2, 3].set(-0.5)
+    best_resc, scores = refine_multi_hypothesis(
+        variables, model, assets, obs, behind, k, cls,
+        jax.random.PRNGKey(3), num_hypotheses=4, num_iters=1,
+        out_size=(H, W), renderer="xla", select_margin=0.05,
+    )
+    assert np.asarray(scores)[:, 0].min() == -np.inf
+    # identity net leaves poses unchanged: the selected pose must NOT be
+    # the behind-camera hypothesis 0 wherever some challenger is finite
+    finite_any = np.isfinite(np.asarray(scores)[:, 1:]).any(axis=1)
+    changed = (np.abs(np.asarray(best_resc) - np.asarray(behind))
+               .max(axis=(1, 2)) > 1e-6)
+    assert (changed == finite_any).all()
+
+
 def test_coarse_iters_requires_head_grid(assets):
     """coarse_iters with a flatten head lacking head_grid fails with a
     clear ValueError, not a deep flax shape error."""
