@@ -390,7 +390,9 @@ def _face_block(p8, px, py, z, r, g, b):
     l1 = c3(3) * px3 + c3(4) * py3 + c3(5)
     l2 = c3(6) * px3 + c3(7) * py3 + c3(8)
     iz = c3(9) * px3 + c3(10) * py3 + c3(11)
-    score = jnp.where((l0 >= 0) & (l1 >= 0) & (l2 >= 0), iz, 0.0)
+    # min(λ0, λ1, λ2) >= 0 == all three >= 0: two mins + one compare
+    # instead of three compares + two ands (~8% of the block's VPU ops).
+    score = jnp.where(jnp.minimum(jnp.minimum(l0, l1), l2) >= 0, iz, 0.0)
     rn = c3(12) * px3 + c3(13) * py3 + c3(14)
     gn = c3(15) * px3 + c3(16) * py3 + c3(17)
     bn = c3(18) * px3 + c3(19) * py3 + c3(20)
@@ -699,7 +701,8 @@ def _raster_kernel_sorted(starts_smem, glob_smem, vals_hbm, params_ref,
             params_ref[0, fi, 8]
         invz = params_ref[0, fi, 9] * px + params_ref[0, fi, 10] * py + \
             params_ref[0, fi, 11]
-        upd = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (invz > zbuf[:])
+        upd = (jnp.minimum(jnp.minimum(l0, l1), l2) >= 0) & \
+            (invz > zbuf[:])
         zbuf[:] = jnp.where(upd, invz, zbuf[:])
         r = params_ref[0, fi, 12] * px + params_ref[0, fi, 13] * py + \
             params_ref[0, fi, 14]
@@ -804,7 +807,8 @@ def _raster_kernel(list_hbm, params_ref, rgb_ref, depth_ref,
             params_ref[0, fi, 8]
         invz = params_ref[0, fi, 9] * px + params_ref[0, fi, 10] * py + \
             params_ref[0, fi, 11]
-        upd = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (invz > zbuf[:])
+        upd = (jnp.minimum(jnp.minimum(l0, l1), l2) >= 0) & \
+            (invz > zbuf[:])
         zbuf[:] = jnp.where(upd, invz, zbuf[:])
         # Color numerator planes (c·invz); divided once per tile below.
         r = params_ref[0, fi, 12] * px + params_ref[0, fi, 13] * py + \
