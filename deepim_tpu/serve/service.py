@@ -59,7 +59,8 @@ class PoseRefinerService:
     def __init__(self, cfg, batch_size: int | None = None,
                  load_checkpoint: bool = True,
                  gather_window_s: float = 0.002,
-                 num_iters: int | None = None):
+                 num_iters: int | None = None,
+                 calibration_batches=None):
         import jax
         import numpy as np
 
@@ -99,6 +100,37 @@ class PoseRefinerService:
                         if n.coarse_height else None)
         self._coarse_iters = cfg.test.coarse_iters
         self._image_size = (cfg.dataset.image_height, cfg.dataset.image_width)
+
+        if cfg.network.quant == "int8_static":
+            # The serving-relevant quant mode (fastest full-res path) needs
+            # calibrated activation scales before the first request.
+            # ``calibration_batches``: eval-style batch dicts from the
+            # caller's real data; default: two synthetic batches at the
+            # config's noise model (scales only need coarse activation
+            # ranges — measured 74.3 vs 75.96 bf16 ADD either way on the
+            # occlusion protocol).
+            from deepim_tpu.data.synthetic import synthetic_batch
+            from deepim_tpu.models.quant import calibrate_model
+            from deepim_tpu.raster.camera import make_intrinsics
+
+            d = cfg.dataset
+            k_cam = make_intrinsics(d.fx, d.fy, d.cx, d.cy)
+            t = cfg.train
+            calib = calibration_batches or [
+                synthetic_batch(
+                    jax.random.PRNGKey(4200 + i), self.assets, self.batch,
+                    k_cam, self._image_size,
+                    rot_noise_deg=t.rot_noise_deg,
+                    rot_max_deg=t.rot_noise_max_deg,
+                    trans_noise=t.trans_noise, trans_max=t.trans_noise_max,
+                    renderer=cfg.test.renderer,
+                )
+                for i in range(2)
+            ]
+            self.model = calibrate_model(
+                self.model, self.params, self.assets, calib, k_cam,
+                self._out_size, renderer=cfg.test.renderer,
+            )
 
         self._queue: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._worker_loop,

@@ -197,3 +197,35 @@ def test_input_depth_model_requires_and_uses_obs_depth():
         np.testing.assert_allclose(out, direct, atol=1e-5)
     finally:
         svc.close()
+
+
+@pytest.mark.slow
+def test_int8_static_service_calibrates_at_init():
+    """network.quant=int8_static: the service calibrates activation scales
+    before the first request (the entry-point wiring the serving layer
+    needs — calibrate_model has no other caller at serving time)."""
+    cfg = config_from_dict(
+        {
+            "experiment": "serve_test_q",
+            "output_dir": "/tmp/serve_test_q_out",
+            "network": {"input_height": H, "input_width": W,
+                        "fc_dim": 32, "quant": "int8_static",
+                        "with_flow": False, "with_mask": False},
+            "dataset": {"name": "synthetic", "objects": ["box", "icosphere"],
+                        "image_height": H, "image_width": W,
+                        "fx": 120.0, "fy": 120.0, "cx": 64.0, "cy": 32.0,
+                        "num_points": 64},
+            "test": {"test_iter": 1, "batch_size": 4, "renderer": "xla"},
+        }
+    )
+    svc = PoseRefinerService(cfg, load_checkpoint=False,
+                             gather_window_s=0.05)
+    try:
+        assert svc.model.quant == "int8"
+        assert len(svc.model.act_scales) > 0  # calibrated, not dynamic
+        obs, init, ks, cls, _ = _requests(svc, 3, seed=9)
+        out = svc.refine(obs, init, ks, cls)
+        assert out.shape == (3, 3, 4)
+        assert np.isfinite(out).all()
+    finally:
+        svc.close()
