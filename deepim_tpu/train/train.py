@@ -64,9 +64,10 @@ def make_model(cfg: Config, num_classes: int,
 
     ``quant="int8_static"`` builds the DYNAMIC int8 model here; the
     calibrating entry points (cli.test via ``models.quant
-    §calibrate_model``, bench.py's BENCH_QUANT=int8_static path) upgrade
-    it with calibrated static scales before running — static scales need
-    representative inputs, which only the driver has.
+    §calibrate_model``, bench.py's BENCH_QUANT=int8_static path, and
+    ``serve.PoseRefinerService.__init__``) upgrade it with calibrated
+    static scales before running — static scales need representative
+    inputs, which only the driver has.
     """
     n = cfg.network
     q = n.quant if inference else "none"
