@@ -134,7 +134,20 @@ def main(argv=None) -> int:
             proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
             continue
         age = time.time() - os.path.getmtime(log_path)
-        if age > args.stale_sec:
+        # Before the first "step N/M" line the process is jit-compiling:
+        # a 480x640 train step takes 10-20+ min over the axon tunnel and
+        # writes nothing, which the plain stale check misread as a wedge
+        # (observed: a kill/recompile loop that never reached step 1).
+        # Compiles killed midway cache nothing, so the loop never
+        # converges — give the compile phase 3x the budget.
+        stale_budget = args.stale_sec
+        try:
+            with open(log_path, "rb") as lf:
+                if b"\nstep " not in lf.read() :
+                    stale_budget = 3 * args.stale_sec
+        except OSError:
+            pass
+        if age > stale_budget:
             restarts += 1
             if restarts > args.max_restarts:
                 print("[supervisor] too many restarts; giving up")
