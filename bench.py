@@ -221,7 +221,7 @@ def main() -> int:
         model = calibrate_model(
             model, variables, assets,
             [{"obs_rgb": obs, "pose_src": init, "class_idx": class_idx}],
-            k_cam, (480, 640), renderer=renderer)
+            k_cam, (480, 640), renderer=renderer, num_iters=K_ITERS)
 
     def run_async():
         return refine_poses(

@@ -337,7 +337,8 @@ def main(argv=None):
 
         calib = list(itertools.islice(stream, 2))
         model = calibrate_model(model, state.params, assets, calib, k_cam,
-                                out_size, renderer=cfg.test.renderer)
+                                out_size, renderer=cfg.test.renderer,
+                                num_iters=cfg.test.test_iter)
         stream = itertools.chain(calib, stream)
         print(f"int8_static: calibrated activation scales on "
               f"{len(calib)} batches")

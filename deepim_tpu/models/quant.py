@@ -77,35 +77,51 @@ def calibrate_model(
     k_cam,
     out_size: tuple[int, int],
     renderer: str = "xla",
+    num_iters: int = 4,
 ) -> DeepIMFlowNet:
     """``int8_static`` entry-point wiring: eval batches → calibrated model.
 
     ``batches`` iterates eval-style batch dicts (``obs_rgb``, ``pose_src``,
     ``class_idx`` [, ``obs_mask``, ``obs_depth``] — what ``cli.test``'s
-    batch streams yield); each is assembled into the exact CNN input the
-    refine loop feeds (``refine.build_network_inputs``, at the init pose —
-    the distribution iteration 1 sees), activation max-abs is measured,
-    and a clone of ``model`` carrying the static scales is returned.
+    batch streams yield).  Each batch is walked through ``num_iters``
+    refine iterations and the CNN input is measured at EVERY iteration —
+    not just at the init pose.  Calibrating on iteration-1 inputs alone
+    was measured catastrophically wrong on the flagship protocol (ADD
+    95.5 → 70.8, one class 96 → 4): later iterations see sharply aligned
+    obs/render pairs whose activations exceed the init-pose max-abs, and
+    static scales CLIP anything beyond the calibrated range.  Walking the
+    trajectory costs a few extra forward steps once, at calibration time.
     Parameters are untouched — the clone loads/serves the same checkpoint.
     """
     import jax.numpy as jnp
 
-    from deepim_tpu.refine.refiner import build_network_inputs, gather_class
+    from deepim_tpu.refine.refiner import (
+        build_network_inputs, gather_class, refine_step,
+    )
 
     def inputs():
         for b in batches:
             pose = jnp.asarray(b["pose_src"])
             cls = jnp.asarray(b["class_idx"])
             ks = jnp.tile(jnp.asarray(k_cam)[None], (pose.shape[0], 1, 1))
+            obs = jnp.asarray(b["obs_rgb"])
             obs_mask = b.get("obs_mask")
+            obs_mask = None if obs_mask is None else jnp.asarray(obs_mask)
             obs_depth = b.get("obs_depth")
-            ni = build_network_inputs(
-                model, gather_class(assets, cls), jnp.asarray(b["obs_rgb"]),
-                pose, ks, out_size, renderer,
-                obs_mask=None if obs_mask is None else jnp.asarray(obs_mask),
-                obs_depth=(None if obs_depth is None
-                           else jnp.asarray(obs_depth)),
-            )
-            yield ni.x
+            obs_depth = (None if obs_depth is None
+                         else jnp.asarray(obs_depth))
+            ab = gather_class(assets, cls)
+            for it in range(num_iters):
+                ni = build_network_inputs(
+                    model, ab, obs, pose, ks, out_size, renderer,
+                    obs_mask=obs_mask, obs_depth=obs_depth,
+                )
+                yield ni.x
+                if it + 1 < num_iters:
+                    pose = refine_step(
+                        variables, model, ab, obs, pose, ks, cls,
+                        out_size, renderer,
+                        obs_mask=obs_mask, obs_depth=obs_depth,
+                    ).pose
     scales = calibrate_act_scales(model, variables, inputs())
     return model.clone(quant="int8", act_scales=scales)

@@ -130,6 +130,7 @@ class PoseRefinerService:
             self.model = calibrate_model(
                 self.model, self.params, self.assets, calib, k_cam,
                 self._out_size, renderer=cfg.test.renderer,
+                num_iters=self.num_iters,
             )
 
         self._queue: queue.Queue = queue.Queue()
