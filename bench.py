@@ -92,6 +92,27 @@ def _wait_for_device(budget_sec: int) -> None:
         time.sleep(60)
 
 
+# Peak dense bf16 FLOP/s per chip by device_kind substring.  Public
+# figures (cloud.google.com/tpu docs): v4 275T, v5e 197T, v5p 459T,
+# v6e (Trillium) 918T.  None → MFU is not computed rather than wrong.
+_PEAK_BF16_FLOPS = (
+    ("v6e", 918e12), ("v6", 918e12),
+    ("v5p", 459e12), ("v5 lite", 197e12), ("v5e", 197e12), ("v5", 197e12),
+    ("v4", 275e12),
+)
+
+
+def peak_flops_per_sec(device) -> float | None:
+    """Peak bf16 FLOP/s for this chip, or None if unknown (non-TPU too)."""
+    if device.platform != "tpu":
+        return None
+    kind = device.device_kind.lower()
+    for sub, peak in _PEAK_BF16_FLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
 def bench_train() -> int:
     """BENCH_TRAIN=1: flagship training-step throughput + MFU.
 
@@ -148,8 +169,9 @@ def bench_train() -> int:
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / reps
 
-    peak = 197e12 if jax.devices()[0].platform == "tpu" else float("nan")
-    mfu = flops_per_step / dt / peak if flops_per_step else float("nan")
+    peak = peak_flops_per_sec(jax.devices()[0])
+    mfu = (flops_per_step / dt / peak
+           if flops_per_step and peak else float("nan"))
     print(json.dumps({
         "metric": "train_steps_per_sec_flagship",
         "value": round(1.0 / dt, 3),
@@ -160,6 +182,8 @@ def bench_train() -> int:
         "train_iter_pairs": cfg.train.train_iter,
         "xla_flops_per_step": flops_per_step,
         "est_mfu": round(mfu, 3) if mfu == mfu else None,
+        "assumed_peak_tflops": round(peak / 1e12, 1) if peak else None,
+        "device_kind": jax.devices()[0].device_kind,
         "input": [cfg.network.input_height, cfg.network.input_width],
     }))
     return 0

@@ -66,6 +66,10 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from deepim_tpu.utils.platform import respect_platform_env
+
+    respect_platform_env()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -118,6 +118,10 @@ def load_assets_and_names(cfg, eval_set: bool = False):
 def main(argv=None):
     args = parse_args(argv)
 
+    from deepim_tpu.utils.platform import respect_platform_env
+
+    respect_platform_env()
+
     import jax
 
     from deepim_tpu.config import save_config, update_config
@@ -149,6 +153,12 @@ def main(argv=None):
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
     print(f"devices: {n_dev} ({jax.devices()[0].platform}); "
           f"mesh={'1x1' if mesh is None else dict(mesh.shape)}")
+    if os.environ.get("DEEPIM_SUPERVISED") != "1":
+        # Long runs over the flaky axon tunnel should be driven by the
+        # failure-detecting supervisor (kills+resumes wedged runs); the
+        # round-3 flagship died unfinished because it wasn't.
+        print("hint: for unattended runs use\n"
+              f"  python tools/supervise_train.py --cfg {args.cfg}")
 
     assets, names, _ = load_assets_and_names(cfg)
     model = make_model(cfg, assets.num_classes)

@@ -104,6 +104,15 @@ def render_mesh(
     batches hypotheses.  ``cull_dir`` matches the Pallas path's back-face
     culling (``mesh.cull_direction`` sign; exact for closed meshes) so
     the oracle can be compared cull-for-cull.
+
+    Caveat: culling exactness assumes no *front* face is whole-face
+    rejected by the near-plane test above (``all tri_z > z_near``).  A
+    pose whose mesh crosses z_near (e.g. a diverged hypothesis) can have
+    a front face dropped by the near test while its occluded back face
+    survives two-sided rendering, so culled vs two-sided output differs
+    slightly there.  In practice such poses already render mostly empty
+    and score -inf in hypothesis selection (fg_count==0), so this is
+    accepted rather than special-cased.
     """
     h, w = image_size
     screen, z = project_vertices(vertices, pose, k)

@@ -50,3 +50,33 @@ def test_tail_done(tmp_path):
     assert not sup.tail_done(str(log))
     log.write_bytes(b"step 100/100\ndone; checkpoints in /x\n")
     assert sup.tail_done(str(log))
+
+
+def test_stepped_since_scopes_to_current_launch(tmp_path):
+    # Step lines from a PREVIOUS run (before the relaunch offset) must
+    # not count: a relaunched process is jit-recompiling and needs the
+    # 3x compile budget, not the 1x steady-state budget.
+    log = tmp_path / "t.log"
+    log.write_bytes(b"launch\nstep 100/200 loss=1\nstep 200/200\n")
+    offset = log.stat().st_size
+    assert not sup.stepped_since(str(log), offset)
+    with open(log, "ab") as f:
+        f.write(b"relaunch banner\ncompiling...\n")
+    assert not sup.stepped_since(str(log), offset)
+    with open(log, "ab") as f:
+        f.write(b"step 201/400 loss=1\n")
+    assert sup.stepped_since(str(log), offset)
+
+
+def test_stepped_since_fresh_log_and_straddle(tmp_path):
+    log = tmp_path / "t.log"
+    log.write_bytes(b"step 1/10\n")
+    assert sup.stepped_since(str(log), 0)  # file-start step line counts
+    # A "\nstep " whose newline falls exactly at the offset still counts.
+    base = b"banner"
+    log.write_bytes(base)
+    off = log.stat().st_size
+    with open(log, "ab") as f:
+        f.write(b"\nstep 2/10\n")
+    assert sup.stepped_since(str(log), off + 1)
+    assert not sup.stepped_since(str(tmp_path / "missing.log"), 0)

@@ -43,6 +43,9 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from deepim_tpu.utils.platform import respect_platform_env
+
+    respect_platform_env()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -104,6 +107,7 @@ def main(argv=None) -> int:
                     num_hypotheses=args.hypotheses,
                     num_iters=cfg.test.test_iter, out_size=out_size,
                     renderer=renderer, obs_depth=batch.get("obs_depth"),
+                    obs_mask=batch.get("obs_mask"),
                     coarse_iters=cfg.test.coarse_iters,
                 )
             else:
@@ -112,6 +116,8 @@ def main(argv=None) -> int:
                     batch["pose_src"], ks, batch["class_idx"],
                     num_iters=cfg.test.test_iter, out_size=out_size,
                     renderer=renderer, coarse_iters=cfg.test.coarse_iters,
+                    obs_depth=batch.get("obs_depth"),
+                    obs_mask=batch.get("obs_mask"),
                 )
             est_all.append(np.asarray(est))
             init_all.append(np.asarray(batch["pose_src"]))

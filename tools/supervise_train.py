@@ -93,10 +93,30 @@ def launch(cfg: str, log_path: str, resume: bool, extra) -> subprocess.Popen:
         cmd.append("--resume")
     cmd += [a for a in extra if a != "--"]
     logf = open(log_path, "ab", buffering=0)
+    env = dict(os.environ, DEEPIM_SUPERVISED="1")
     proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT,
-                            start_new_session=True)
+                            start_new_session=True, env=env)
     print(f"[supervisor] launched pid {proc.pid}: {' '.join(cmd)}")
     return proc
+
+
+def stepped_since(log_path: str, offset: int) -> bool:
+    """True iff a "step N" progress line was written at/after ``offset``.
+
+    The compile-phase 3x stale budget must be scoped to the CURRENT
+    launch: the log is append-only across kill+resume cycles, so step
+    lines from a previous run would otherwise grant the relaunched
+    process (which is jit-recompiling, possibly cold-cache) only the 1x
+    budget — reintroducing the kill/recompile loop.  Scanning from the
+    per-launch offset also bounds the 30s-poll read to new bytes.
+    """
+    try:
+        with open(log_path, "rb") as f:
+            f.seek(max(0, offset - 6))  # catch "\nstep " straddling offset
+            data = f.read()
+        return b"\nstep " in data or (offset == 0 and data.startswith(b"step "))
+    except OSError:
+        return False
 
 
 def tail_done(log_path: str) -> bool:
@@ -115,8 +135,10 @@ def main(argv=None) -> int:
     open(log_path, "wb").close()
 
     wait_for_device()
+    launch_offset = os.path.getsize(log_path)
     proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
     restarts = 0
+    stepped = False  # has THIS launch produced a "step N" line yet?
     while True:
         time.sleep(30)
         rc = proc.poll()
@@ -131,7 +153,9 @@ def main(argv=None) -> int:
             print(f"[supervisor] pid died unfinished (rc={rc}); "
                   f"resume #{restarts}")
             wait_for_device()
+            launch_offset = os.path.getsize(log_path)
             proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
+            stepped = False
             continue
         age = time.time() - os.path.getmtime(log_path)
         # Before the first "step N/M" line the process is jit-compiling:
@@ -139,14 +163,11 @@ def main(argv=None) -> int:
         # writes nothing, which the plain stale check misread as a wedge
         # (observed: a kill/recompile loop that never reached step 1).
         # Compiles killed midway cache nothing, so the loop never
-        # converges — give the compile phase 3x the budget.
-        stale_budget = args.stale_sec
-        try:
-            with open(log_path, "rb") as lf:
-                if b"\nstep " not in lf.read() :
-                    stale_budget = 3 * args.stale_sec
-        except OSError:
-            pass
+        # converges — give the compile phase 3x the budget.  The check is
+        # scoped to output since the CURRENT launch (see stepped_since).
+        if not stepped:
+            stepped = stepped_since(log_path, launch_offset)
+        stale_budget = args.stale_sec if stepped else 3 * args.stale_sec
         if age > stale_budget:
             restarts += 1
             if restarts > args.max_restarts:
@@ -163,7 +184,9 @@ def main(argv=None) -> int:
             proc.wait()
             time.sleep(5)
             wait_for_device()
+            launch_offset = os.path.getsize(log_path)
             proc = launch(args.cfg, log_path, resume=True, extra=args.rest)
+            stepped = False
 
 
 if __name__ == "__main__":
