@@ -19,7 +19,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a deepim_tpu model")
     p.add_argument("--cfg", required=True)
     p.add_argument("--num-samples", type=int, default=0,
-                   help="synthetic eval set size (0 = 8*batch)")
+                   help="synthetic eval set size (0 = max(2048, 8*batch): "
+                        "sized so the tables' ±CI resolves few-point "
+                        "deltas — streaming eval keeps memory flat)")
     p.add_argument("--no-refine", action="store_true",
                    help="evaluate the init poses only (baseline row)")
     p.add_argument("--hypotheses", type=int, default=1,
@@ -149,7 +151,7 @@ def main(argv=None):
         # scenes with distractor occluders.
         from deepim_tpu.data.synthetic import synthetic_occlusion_batch
 
-        n = args.num_samples or 8 * bs
+        n = args.num_samples or max(2048, 8 * bs)
         n = (n // bs) * bs
         num_real = n  # generated batches have no padding
 
@@ -170,7 +172,7 @@ def main(argv=None):
         # must match the train distribution, only the seeds differ.
         from deepim_tpu.data.synthetic import synthetic_batch
 
-        n = args.num_samples or 8 * bs
+        n = args.num_samples or max(2048, 8 * bs)
         n = (n // bs) * bs
         num_real = n
 

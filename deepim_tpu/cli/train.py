@@ -25,6 +25,10 @@ def parse_args(argv=None):
                    help="override cfg.train.num_steps")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
+    p.add_argument("--seed", type=int, default=-1,
+                   help="override cfg.train.seed (seed-variance studies); "
+                        "also suffixes the experiment dir with _seed<k> so "
+                        "runs don't clobber the protocol checkpoint")
     return p.parse_args(argv)
 
 
@@ -141,6 +145,14 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            num_steps=args.num_steps)
+        )
+    if args.seed >= 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(cfg.train, seed=args.seed),
+            experiment=f"{cfg.experiment}_seed{args.seed}",
         )
     out_dir = os.path.join(cfg.output_dir, cfg.experiment)
     ckpt_dir = os.path.join(out_dir, "checkpoints")

@@ -67,6 +67,21 @@ class LM6DDataset:
         # default (also the write target for dataset generators)
         return os.path.join(mdir, "textured.ply")
 
+    @classmethod
+    def discover_objects(cls, root: str) -> list[str]:
+        """Object names present in a converted root (sorted ``models/``
+        subdirs holding a loadable model file) — the asset-day runbook
+        derives its eval config from this instead of asking the user."""
+        mroot = os.path.join(root, "models")
+        if not os.path.isdir(mroot):
+            return []
+        return sorted(
+            d for d in os.listdir(mroot)
+            if os.path.isdir(os.path.join(mroot, d))
+            and any(os.path.exists(os.path.join(mroot, d, c))
+                    for c in cls.MODEL_CANDIDATES)
+        )
+
     def _obs(self, scene: str, frame: str, suffix: str) -> str:
         return os.path.join(self.root, "data", "observed", scene,
                             f"{frame}-{suffix}")

@@ -40,6 +40,52 @@ class EvalThresholds:
     auc_max_m: float = 0.1  # YCB AUC threshold range
 
 
+PROPORTION_METRICS = ("add(-s)_0.1d", "add_0.1d", "adds_0.1d",
+                      "5deg_5cm", "proj2d_5px")
+
+
+def wilson_ci(p_pct: float, n: int, z: float = 1.96) -> tuple[float, float]:
+    """95% Wilson score interval for a success proportion, in percent.
+
+    Every accuracy in the reference's tables is a binomial proportion, so
+    its sampling noise is knowable from (p, n) alone — and at the n=512
+    evals of earlier rounds the ±3-4 pt interval exceeded several deltas
+    that were published as wins.  Tables therefore carry this interval.
+    Wilson rather than normal approximation: behaves at p near 0/100 and
+    small n (a 100% @ n=64 reads ±5.7, not ±0).
+    """
+    if n <= 0:
+        return (float("nan"), float("nan"))
+    p = min(max(p_pct / 100.0, 0.0), 1.0)
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    hw = (z * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / denom
+    return (max(0.0, center - hw) * 100, min(1.0, center + hw) * 100)
+
+
+def ci_halfwidth(p_pct: float, n: int, z: float = 1.96) -> float:
+    """Max deviation of the Wilson CI from the point estimate (pct pts)."""
+    lo, hi = wilson_ci(p_pct, n, z)
+    return float(max(p_pct - lo, hi - p_pct))
+
+
+def macro_mean_halfwidth(rows: list[dict], key: str, z: float = 1.96) -> float:
+    """95% half-width of the macro (per-class) mean of a proportion metric.
+
+    Classes are independent eval sets, so var(mean) = Σ p_i(1-p_i)/n_i / C²
+    (normal approximation; fine at the aggregate n this is used for).
+    """
+    if not rows:
+        return float("nan")
+    var = 0.0
+    for r in rows:
+        p = min(max(r[key] / 100.0, 0.0), 1.0)
+        n = max(int(r["n"]), 1)
+        var += p * (1 - p) / n
+    return float(z * np.sqrt(var) / len(rows) * 100)
+
+
 @partial(jax.jit, static_argnames=("point_block",))
 def compute_pose_errors(
     points: jax.Array,  # (B, N, 3) per-sample model points
@@ -153,22 +199,38 @@ def evaluate_poses(
             "mean_rot_deg": float(errs["rot_deg"][m].mean()),
             "mean_trans_m": float(errs["trans_m"][m].mean()),
         }
+        row["ci95"] = {kk: round(ci_halfwidth(row[kk], n), 2)
+                       for kk in PROPORTION_METRICS}
         per_class[name] = row
         all_rows.append(row)
 
     mean = {
         kk: float(np.mean([r[kk] for r in all_rows]))
         for kk in all_rows[0]
-        if kk != "n"
+        if kk not in ("n", "ci95")
     } if all_rows else {}
+    if mean:
+        mean["ci95"] = {kk: round(macro_mean_halfwidth(all_rows, kk), 2)
+                        for kk in PROPORTION_METRICS}
     return {"per_class": per_class, "mean": mean,
             "num_samples": int(len(class_idx))}
 
 
 def format_table(results: dict, title: str = "Pose evaluation") -> str:
-    """Plain-text table in the reference's eval-log style."""
+    """Plain-text table in the reference's eval-log style.
+
+    Proportion columns print as value±hw (95% Wilson CI half-width) so a
+    reader can judge every delta against its own noise floor.
+    """
     cols = ["add(-s)_0.1d", "5deg_5cm", "proj2d_5px", "auc_add(-s)",
             "mean_rot_deg", "mean_trans_m"]
+
+    def cell(row, c):
+        hw = row.get("ci95", {}).get(c)
+        if hw is not None and hw == hw:
+            return f"{row[c]:.2f}±{hw:.2f}"
+        return f"{row[c]:.2f}"
+
     lines = [title, "=" * len(title)]
     header = f"{'class':<16}" + "".join(f"{c:>14}" for c in cols) + f"{'n':>8}"
     lines.append(header)
@@ -176,14 +238,14 @@ def format_table(results: dict, title: str = "Pose evaluation") -> str:
     for name, row in results["per_class"].items():
         lines.append(
             f"{name:<16}"
-            + "".join(f"{row[c]:>14.2f}" for c in cols)
+            + "".join(f"{cell(row, c):>14}" for c in cols)
             + f"{row['n']:>8d}"
         )
     if results["mean"]:
         lines.append("-" * len(header))
         lines.append(
             f"{'MEAN':<16}"
-            + "".join(f"{results['mean'][c]:>14.2f}" for c in cols)
+            + "".join(f"{cell(results['mean'], c):>14}" for c in cols)
             + f"{results['num_samples']:>8d}"
         )
     return "\n".join(lines)

@@ -92,6 +92,9 @@ def test_evaluate_poses_chunked_matches_whole(assets):
                              est, gt, cls, k, chunk=8, point_block=24)
     for name, row in ref["per_class"].items():
         for key, val in row.items():
+            if key == "ci95":
+                assert chunked["per_class"][name][key] == val, name
+                continue
             assert abs(chunked["per_class"][name][key] - val) < 1e-4, (
                 name, key)
 
@@ -580,3 +583,34 @@ def test_bop_results_csv_roundtrip(tmp_path):
     np.testing.assert_allclose(back["scores"], [0.9, 0.8], atol=1e-6)
     with open(path) as f:
         assert f.readline().startswith("scene_id,im_id,obj_id,score,R,t")
+
+
+def test_wilson_ci_behaviour():
+    from deepim_tpu.eval.evaluator import ci_halfwidth, wilson_ci
+
+    # n=512 at 76%: the round-3 A/B noise floor the tables must expose.
+    hw = ci_halfwidth(76.0, 512)
+    assert 3.0 < hw < 4.5
+    # Wilson stays sane at the boundaries (normal approx would say ±0).
+    assert ci_halfwidth(100.0, 64) > 4.0
+    lo, hi = wilson_ci(0.0, 100)
+    assert lo == 0.0 and 0 < hi < 5.0
+    # Quadrupling n roughly halves the interval.
+    assert ci_halfwidth(76.0, 2048) < 0.55 * ci_halfwidth(76.0, 512)
+
+
+def test_eval_tables_carry_ci(assets):
+    gt = np.stack([_pose(0.1 * i) for i in range(8)])
+    k = np.tile(K_CAM[None], (8, 1, 1))
+    cls = np.asarray([0, 1] * 4, np.int32)
+    res = evaluate_poses(assets, ["box", "icosphere"], [True, False],
+                         gt, gt, cls, k)
+    for row in list(res["per_class"].values()) + [res["mean"]]:
+        ci = row["ci95"]
+        assert set(ci) == {"add(-s)_0.1d", "add_0.1d", "adds_0.1d",
+                           "5deg_5cm", "proj2d_5px"}
+        assert all(v >= 0 for v in ci.values())
+    # 100% at n=4 must NOT read as certain.
+    assert res["per_class"]["box"]["ci95"]["add(-s)_0.1d"] > 10.0
+    txt = format_table(res)
+    assert "±" in txt
