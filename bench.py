@@ -239,13 +239,17 @@ def main() -> int:
 
     if QUANT == "int8_static":
         # Calibrate static activation scales on the bench batch itself
-        # (scales only affect accuracy, not the timed program shape).
+        # (scales only affect accuracy, not the timed program shape —
+        # except per-channel modes, which add the weight-fold; calibrate
+        # with the mode under test).  BENCH_QUANT_CALIB picks the
+        # estimator (models/quant.py CALIB_MODES).
         from deepim_tpu.models.quant import calibrate_model
 
         model = calibrate_model(
             model, variables, assets,
             [{"obs_rgb": obs, "pose_src": init, "class_idx": class_idx}],
-            k_cam, (480, 640), renderer=renderer, num_iters=K_ITERS)
+            k_cam, (480, 640), renderer=renderer, num_iters=K_ITERS,
+            mode=os.environ.get("BENCH_QUANT_CALIB", "max"))
 
     def run_async():
         return refine_poses(

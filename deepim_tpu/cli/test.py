@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--init-trans-noise", type=float, default=-1.0,
                    help="override the eval init-pose translation noise std "
                         "(meters, all axes; max = 3x std)")
+    p.add_argument("--quant-calib", default="max",
+                   help="int8_static calibration estimator: max | p999 "
+                        "(99.9%% clip) | max_c / p999_c (per-channel, "
+                        "folded into weights) — see models/quant.py")
     p.add_argument("--quant", default="",
                    choices=("", "none", "int8", "int8_static"),
                    help="override cfg.network.quant for this eval: A/B "
@@ -344,10 +348,11 @@ def main(argv=None):
         calib = list(itertools.islice(stream, 2))
         model = calibrate_model(model, state.params, assets, calib, k_cam,
                                 out_size, renderer=cfg.test.renderer,
-                                num_iters=cfg.test.test_iter)
+                                num_iters=cfg.test.test_iter,
+                                mode=args.quant_calib)
         stream = itertools.chain(calib, stream)
         print(f"int8_static: calibrated activation scales on "
-              f"{len(calib)} batches")
+              f"{len(calib)} batches (mode={args.quant_calib})")
     ks_b = jnp.tile(k_cam[None], (bs, 1, 1))  # same intrinsics every batch
     trajs = []  # per-batch (iters+1, bs, 3, 4) pose trajectories (tiny)
     gt_parts, cls_parts = [], []

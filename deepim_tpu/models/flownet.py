@@ -63,10 +63,39 @@ def _quantize_int8_static(x, scale):
     activation — the round/clip is pure elementwise work that XLA fuses
     into the producing op's epilogue, and the tensor that reaches HBM
     between layers is int8 (half of bf16 traffic).  Out-of-calibration
-    values saturate at ±127 (symmetric clip).
+    values saturate at ±127 (symmetric clip).  ``scale`` is a calibrated
+    python float, or a tuple of per-channel floats broadcast over the
+    trailing (channel) axis.
     """
-    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    s = jnp.asarray(scale, jnp.float32)
+    q = jnp.round(x.astype(jnp.float32) / s)
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def _calib_sows(module, x) -> None:
+    """Record calibration statistics for one quantized layer.
+
+    Four parallel stats per layer (all DCE'd unless the ``quant_stats``
+    collection is mutable, i.e. outside calibration they cost nothing):
+    scalar and per-channel max-abs, and scalar and per-channel 99.9th
+    percentile of |x|.  ``calibrate_act_scales(mode=...)`` picks one;
+    percentile clipping trades saturation of the 0.1% activation tail
+    for 8-bit resolution on the 99.9% body (round-3 VERDICT #5).
+    """
+    ax = tuple(range(x.ndim - 1))
+    absx = jnp.abs(x.astype(jnp.float32))
+    module.sow("quant_stats", "amax", jnp.max(absx),
+               reduce_fn=jnp.maximum,
+               init_fn=lambda: jnp.zeros((), jnp.float32))
+    module.sow("quant_stats", "amax_c", jnp.max(absx, axis=ax),
+               reduce_fn=jnp.maximum,
+               init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32))
+    module.sow("quant_stats", "p999", jnp.percentile(absx, 99.9),
+               reduce_fn=jnp.maximum,
+               init_fn=lambda: jnp.zeros((), jnp.float32))
+    module.sow("quant_stats", "p999_c", jnp.percentile(absx, 99.9, axis=ax),
+               reduce_fn=jnp.maximum,
+               init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32))
 
 
 def _int8_conv(x, kernel, strides, padding, act_scale=None):
@@ -86,7 +115,15 @@ def _int8_conv(x, kernel, strides, padding, act_scale=None):
     k_depth = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
     assert k_depth * 127 * 127 < 2 ** 31, (
         f"int8 conv contraction depth {k_depth} could overflow int32")
-    if act_scale is not None:
+    if isinstance(act_scale, tuple):
+        # Per-channel calibrated scales: quantize x channel-wise and fold
+        # the scales into the (float) kernel's input-channel axis before
+        # weight quantization — conv(x/s_c, W*s_c) == conv(x, W), so the
+        # int8 matmul itself is unchanged and sx collapses to 1.
+        s = jnp.asarray(act_scale, jnp.float32)
+        xq, sx = _quantize_int8_static(x, act_scale), 1.0
+        kernel = kernel * s.reshape(1, 1, -1, 1)
+    elif act_scale is not None:
         xq, sx = _quantize_int8_static(x, act_scale), act_scale
     else:
         xq, sx = _quantize_int8(x, axes=(1, 2, 3))
@@ -116,7 +153,8 @@ class Conv(nn.Module):
     dtype: Any = jnp.bfloat16
     sym_pad: bool = False
     quant: str = "none"  # "int8": on-the-fly quantized conv (same params)
-    act_scale: float | None = None  # calibrated static activation scale
+    # calibrated static activation scale (float, or per-channel tuple)
+    act_scale: float | tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -132,10 +170,7 @@ class Conv(nn.Module):
                 # (which makes every collection mutable) keeps the variable
                 # tree identical to the plain model's — checkpoints restore
                 # interchangeably (tests/test_quant.py).
-                self.sow("quant_stats", "amax",
-                         jnp.max(jnp.abs(x)).astype(jnp.float32),
-                         reduce_fn=jnp.maximum,
-                         init_fn=lambda: jnp.zeros((), jnp.float32))
+                _calib_sows(self, x)
             y = _int8_conv(x, kernel, (self.stride, self.stride), pad,
                            act_scale=self.act_scale)
             return leaky((y + bias).astype(self.dtype))
@@ -188,7 +223,9 @@ class StemConv(nn.Module):
     dtype: Any = jnp.bfloat16
     sym_pad: bool = False  # MXNet symmetric padding (see Conv)
     quant: str = "none"  # "int8": quantized conv (same params, see Conv)
-    act_scale: float | None = None  # calibrated static activation scale
+    # calibrated static activation scale (float, or per-channel tuple of
+    # length c — the PRE-s2d channel count; the s2d branch tiles it x4)
+    act_scale: float | tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -198,12 +235,10 @@ class StemConv(nn.Module):
                                    name="Conv_0")()
         if (self.quant == "int8" and self.act_scale is None
                 and not self.is_initializing()):
-            # s2d only rearranges (and zero-pads) x, so amax(xs) == amax(x);
+            # stats measured on pre-s2d x (s2d only rearranges/zero-pads,
+            # so scalar stats match and per-channel stats stay c-long);
             # init-guarded to keep the init variable tree checkpoint-clean.
-            self.sow("quant_stats", "amax",
-                     jnp.max(jnp.abs(x)).astype(jnp.float32),
-                     reduce_fn=jnp.maximum,
-                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            _calib_sows(self, x)
         b_, h, w = x.shape[0], x.shape[1], x.shape[2]
         dt = self.dtype
         if ss == 2 and h % 2 == 0 and w % 2 == 0:
@@ -228,8 +263,14 @@ class StemConv(nn.Module):
             kp = kp.transpose(0, 2, 1, 3, 4, 5)
             kp = kp.reshape(kb, kb, 4 * c, self.features)
             if self.quant == "int8":
+                # xs channel j holds original channel j % c (the s2d
+                # reshape is (dy, dx, c)-major), so per-channel scales
+                # tile x4 by python-tuple repetition.
+                s2d_scale = (tuple(self.act_scale) * 4
+                             if isinstance(self.act_scale, tuple)
+                             else self.act_scale)
                 y = _int8_conv(xs, kp, (1, 1), "VALID",
-                               act_scale=self.act_scale).astype(dt)
+                               act_scale=s2d_scale).astype(dt)
             else:
                 y = jax.lax.conv_general_dilated(
                     xs.astype(dt), kp.astype(dt), (1, 1), "VALID",
@@ -258,7 +299,8 @@ class QDense(nn.Module):
     """
 
     features: int
-    act_scale: float | None = None  # calibrated static activation scale
+    # calibrated static activation scale (float, or per-feature tuple)
+    act_scale: float | tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -271,14 +313,16 @@ class QDense(nn.Module):
                             (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        if self.act_scale is not None:
+        if isinstance(self.act_scale, tuple):
+            # per-feature scales fold into the kernel rows (see _int8_conv)
+            s = jnp.asarray(self.act_scale, jnp.float32)
+            xq, sx = _quantize_int8_static(x, self.act_scale), 1.0
+            kernel = kernel * s[:, None]
+        elif self.act_scale is not None:
             xq, sx = _quantize_int8_static(x, self.act_scale), self.act_scale
         else:
             if not self.is_initializing():  # keep init tree checkpoint-clean
-                self.sow("quant_stats", "amax",
-                         jnp.max(jnp.abs(x)).astype(jnp.float32),
-                         reduce_fn=jnp.maximum,
-                         init_fn=lambda: jnp.zeros((), jnp.float32))
+                _calib_sows(self, x)
             xq, sx = _quantize_int8(x, axes=(1,))
         kq, sk = _quantize_int8(kernel, axes=(0,))
         y = jax.lax.dot_general(xq, kq, (((1,), (0,)), ((), ())),

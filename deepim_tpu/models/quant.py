@@ -29,44 +29,74 @@ import jax
 from deepim_tpu.config.config import QUANT_MODES  # noqa: F401 (re-export)
 from deepim_tpu.models.flownet import DeepIMFlowNet
 
-__all__ = ["calibrate_act_scales", "calibrate_model", "QUANT_MODES"]
+__all__ = ["CALIB_MODES", "calibrate_act_scales", "calibrate_model",
+           "QUANT_MODES"]
+
+
+#: Calibration estimators for the static activation scale.  "max" is
+#: plain max-abs (no clipping, coarsest resolution); "p999" clips the
+#: top 0.1% activation tail for 8-bit resolution on the body; the "_c"
+#: variants measure per input channel and fold the scales into the
+#: consuming layer's weights (flownet._int8_conv) — finer resolution
+#: where channel dynamic ranges differ.
+CALIB_MODES = ("max", "p999", "max_c", "p999_c")
+_STAT_KEY = {"max": "amax", "p999": "p999",
+             "max_c": "amax_c", "p999_c": "p999_c"}
 
 
 def calibrate_act_scales(
     model: DeepIMFlowNet,
     variables,
     inputs: Iterable[jax.Array],
+    mode: str = "max",
 ) -> tuple:
-    """Measure per-layer activation max-abs → static int8 scales.
+    """Measure per-layer activation statistics → static int8 scales.
 
     ``inputs`` iterates assembled network-input batches (the (B, H, W, C)
     tensors the refine loop feeds the CNN — build them with
     ``refine.build_network_inputs`` so calibration sees the true input
     distribution).  Returns a sorted, hashable tuple of
     ``(layer_name, scale)`` pairs for ``DeepIMFlowNet(act_scales=...)`` /
-    ``model.clone(act_scales=...)``.
+    ``model.clone(act_scales=...)``; per-channel modes yield tuple-valued
+    scales.
 
-    The max is taken across ALL calibration batches; scale = amax / 127
-    (symmetric, zero-point 0 — clipping saturates anything beyond the
-    calibrated range).
+    ``mode`` picks the estimator (see :data:`CALIB_MODES`); statistics
+    aggregate across batches with an elementwise max, scale = stat / 127
+    (symmetric, zero-point 0 — anything beyond the calibrated range
+    saturates).
     """
+    import numpy as np
+
+    if mode not in CALIB_MODES:
+        raise ValueError(f"mode={mode!r} not in {CALIB_MODES}")
+    want = _STAT_KEY[mode]
     qm = model.clone(quant="int8", act_scales=())
     fwd = jax.jit(lambda v, x: qm.apply(v, x, pose_only=True,
                                         mutable=["quant_stats"])[1])
-    amax: dict[str, float] = {}
+    stat: dict[str, np.ndarray] = {}
     n_batches = 0
     for x in inputs:
         n_batches += 1
         stats = jax.device_get(fwd(variables, x))["quant_stats"]
         flat = jax.tree_util.tree_flatten_with_path(stats)[0]
         for path, value in flat:
-            # sow path: (<layer module name>, "amax")
+            # sow path: (<layer module name>, <stat name>)
+            if path[-1].key != want:
+                continue
             name = path[-2].key
-            amax[name] = max(amax.get(name, 0.0), float(value))
+            value = np.asarray(value, np.float64)
+            stat[name] = (value if name not in stat
+                          else np.maximum(stat[name], value))
     if n_batches == 0:
         raise ValueError("calibrate_act_scales needs >=1 input batch")
-    return tuple(sorted((k, v / 127.0 if v > 0 else 1.0 / 127.0)
-                        for k, v in amax.items()))
+
+    def to_scale(v):
+        s = np.where(v > 0, v, 1.0) / 127.0
+        if s.ndim == 0:
+            return float(s)
+        return tuple(float(e) for e in s)
+
+    return tuple(sorted((k, to_scale(v)) for k, v in stat.items()))
 
 
 def calibrate_model(
@@ -78,6 +108,7 @@ def calibrate_model(
     out_size: tuple[int, int],
     renderer: str = "xla",
     num_iters: int = 4,
+    mode: str = "max",
 ) -> DeepIMFlowNet:
     """``int8_static`` entry-point wiring: eval batches → calibrated model.
 
@@ -123,5 +154,5 @@ def calibrate_model(
                         out_size, renderer,
                         obs_mask=obs_mask, obs_depth=obs_depth,
                     ).pose
-    scales = calibrate_act_scales(model, variables, inputs())
+    scales = calibrate_act_scales(model, variables, inputs(), mode=mode)
     return model.clone(quant="int8", act_scales=scales)

@@ -216,3 +216,77 @@ def test_quant_model_pose_outputs_close():
         ref, got = np.asarray(out_ref[key]), np.asarray(out_q[key])
         scale = max(np.abs(ref).max(), 1e-3)
         assert np.abs(got - ref).max() / scale < 0.08, key
+
+
+def test_calibration_stats_all_modes():
+    """Each sow site records all four estimators with the right shapes,
+    and percentile stats are bounded by the max stats."""
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=False,
+              with_mask=False, fc_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 6))
+    model = DeepIMFlowNet(**kw, quant="int8")
+    params = model.init(jax.random.PRNGKey(1), x)
+    _, state = model.apply(params, x, pose_only=True,
+                           mutable=["quant_stats"])
+    st = state["quant_stats"]["conv2"]
+    c_in = np.asarray(st["amax_c"]).shape[0]
+    assert np.asarray(st["amax"]).shape == ()
+    assert np.asarray(st["p999"]).shape == ()
+    assert np.asarray(st["p999_c"]).shape == (c_in,)
+    assert float(st["p999"]) <= float(st["amax"]) + 1e-6
+    assert np.all(np.asarray(st["p999_c"]) <= np.asarray(st["amax_c"]) + 1e-6)
+    assert float(st["amax"]) == np.max(np.asarray(st["amax_c"]))
+
+
+def test_calibrate_modes_output_types_and_accuracy():
+    """p999 yields smaller-or-equal scalar scales than max; _c modes give
+    per-channel tuples; every calibrated clone tracks the dynamic model."""
+    from deepim_tpu.models.quant import CALIB_MODES, calibrate_act_scales
+
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=False,
+              with_mask=False, fc_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 64, 64, 6)) * 0.3
+    model = DeepIMFlowNet(**kw)
+    params = model.init(jax.random.PRNGKey(1), x)
+    out_ref = model.apply(params, x, pose_only=True)
+    by_mode = {}
+    for mode in CALIB_MODES:
+        scales = calibrate_act_scales(model, params, [x], mode=mode)
+        by_mode[mode] = dict(scales)
+        static = model.clone(quant="int8", act_scales=scales)
+        out_s = static.apply(params, x, pose_only=True)
+        for key in ("rot_raw", "trans"):
+            ref = np.asarray(out_ref[key])
+            got = np.asarray(out_s[key])
+            scale = max(np.abs(ref).max(), 1e-3)
+            assert np.abs(got - ref).max() / scale < 0.15, (mode, key)
+    for name, s in by_mode["max"].items():
+        assert isinstance(s, float)
+        assert isinstance(by_mode["p999"][name], float)
+        assert by_mode["p999"][name] <= s + 1e-9
+        sc = by_mode["max_c"][name]
+        assert isinstance(sc, tuple) and all(isinstance(v, float) for v in sc)
+        # scalar max == max over channels
+        assert abs(max(sc) - s) < 1e-6 * max(s, 1.0), name
+
+
+def test_int8_conv_per_channel_fold_oracle():
+    """Per-channel activation scales folded into the kernel reproduce the
+    explicit quantize-then-conv oracle exactly."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+    s_c = (0.01, 0.05, 0.2)
+    got = np.asarray(_int8_conv(x, k, (1, 1), "SAME", act_scale=s_c))
+
+    s = np.asarray(s_c, np.float32)
+    xq = np.clip(np.round(np.asarray(x) / s), -127, 127)
+    kf = np.asarray(k) * s.reshape(1, 1, 3, 1)
+    amax_k = np.max(np.abs(kf), axis=(0, 1, 2), keepdims=True)
+    sk = np.maximum(amax_k, 1e-12) / 127.0
+    kq = np.clip(np.round(kf / sk), -127, 127)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(kq), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(ref) * sk.reshape(1, 1, 1, -1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
