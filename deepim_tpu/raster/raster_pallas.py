@@ -523,9 +523,24 @@ def _raster_kernel_cols(starts_smem, glob_smem, ids_hbm, params_ref,
     rgb_ref[0, 2] = bsc[:] * inv
 
 
+#: Compaction budget as a fraction of the face table.  Back-face culling
+#: of a closed mesh invalidates ~half the faces (the projected front and
+#: back areas are equal; counts track area for near-uniform decimated
+#: tessellations), and mesh-padding to a class-wide max_faces invalidates
+#: more — but the binning sort used to process the span-expanded id list
+#: at FULL length regardless (round-3 DESIGN §15 open item, ~2.8 ms/iter
+#: at F=4096).  When every sample's valid-face count fits the budget, a
+#: cheap F-key partition sort compacts the face list BEFORE the S-fold
+#: span expansion, shrinking the main packed sort to 62.5%; otherwise a
+#: batch-level lax.cond falls back to the full-length path (losslessness
+#: is never traded).  0 disables compaction.
+_COMPACT_FRAC = 0.625
+
+
 def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
                              sy_span: int = 6, sx_span: int = 2,
-                             global_cap: int = 120, cap: int = 2048):
+                             global_cap: int = 120, cap: int = 2048,
+                             compact_frac: float = _COMPACT_FRAC):
     """Column-kernel launch (sorted ids + VMEM params, one DMA/column)."""
     b, f = params.shape[0], params.shape[1]
     h, w = image_size
@@ -533,51 +548,90 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
     n_cols = pl.cdiv(w, 128)
     hp, wp = n_subs * 8, n_cols * 128
 
-    face_ids, starts, glob = jax.vmap(
-        lambda bb, ok: bin_faces_packed(bb, ok, image_size, (8, 128),
-                                        sy_span, sx_span, global_cap)
-    )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, TX+1 + G*TX + 8)
+    def launch(face_ids, starts, glob):
+        # Pad ids so any cap-aligned window stays in bounds; pad id 0 →
+        # real face-0 params, harmless (a face is a geometric no-op in any
+        # tile its triangle doesn't cover, re-evals are idempotent under
+        # the strict z-test, and culled/padding faces pack zero params).
+        ns = face_ids.shape[1]
+        nr = (pl.cdiv(ns, cap) + 1) * cap
+        ids_p = jnp.zeros((b, nr), jnp.int32).at[:, :ns].set(face_ids)
+        ids_p = ids_p.reshape(b, nr // 128, 128)
 
-    # Pad ids so any cap-aligned window stays in bounds; pad id 0 → real
-    # face-0 params, harmless (a face is a geometric no-op in any tile its
-    # triangle doesn't cover, and re-evals are idempotent under the strict
-    # z-test).
-    ns = face_ids.shape[1]
-    nr = (pl.cdiv(ns, cap) + 1) * cap
-    ids_p = jnp.zeros((b, nr), jnp.int32).at[:, :ns].set(face_ids)
-    ids_p = ids_p.reshape(b, nr // 128, 128)
+        kernel = functools.partial(_raster_kernel_cols, n_subs=n_subs,
+                                   cap=cap)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_cols),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # sorted ids (HBM)
+                pl.BlockSpec((1, f, 24), lambda bi, xi, *_: (bi, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3, hp, 128),
+                             lambda bi, xi, *_: (bi, 0, 0, xi)),
+                pl.BlockSpec((1, hp, 128), lambda bi, xi, *_: (bi, 0, xi)),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((cap // 128, 128), jnp.int32),
+                pltpu.VMEM((8, 24), jnp.float32),
+                pltpu.VMEM((hp, 128), jnp.float32),
+                pltpu.VMEM((hp, 128), jnp.float32),
+                pltpu.VMEM((hp, 128), jnp.float32),
+                pltpu.VMEM((hp, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 3, hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            ],
+            interpret=interpret,
+        )(starts, glob, ids_p, params)
 
-    kernel = functools.partial(_raster_kernel_cols, n_subs=n_subs, cap=cap)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, n_cols),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # sorted ids (HBM)
-            pl.BlockSpec((1, f, 24), lambda bi, xi, *_: (bi, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 3, hp, 128), lambda bi, xi, *_: (bi, 0, 0, xi)),
-            pl.BlockSpec((1, hp, 128), lambda bi, xi, *_: (bi, 0, xi)),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((cap // 128, 128), jnp.int32),
-            pltpu.VMEM((8, 24), jnp.float32),
-            pltpu.VMEM((hp, 128), jnp.float32),
-            pltpu.VMEM((hp, 128), jnp.float32),
-            pltpu.VMEM((hp, 128), jnp.float32),
-            pltpu.VMEM((hp, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    rgb, depth = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 3, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(starts, glob, ids_p, params)
+    def bin_full(_):
+        face_ids, starts, glob = jax.vmap(
+            lambda bb, ok: bin_faces_packed(bb, ok, image_size, (8, 128),
+                                            sy_span, sx_span, global_cap)
+        )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, TX+1 + G*TX + 8)
+        return face_ids, starts, glob
+
+    budget = int(-(-int(f * compact_frac) // 128)) * 128 if compact_frac \
+        else 0
+    if not 0 < budget < f:
+        return (lambda rd: (rd[0][:, :, :h, :w], rd[1][:, :h, :w]))(
+            launch(*bin_full(None)))
+
+    def bin_compact(_):
+        # Valid-first stable partition (one F-key sort/sample), then bin
+        # only `budget` faces; bin output indexes the COMPACT space, so
+        # gather back through `keep` — the raster kernel and its full-F
+        # params table are untouched.
+        order = jnp.argsort(jnp.logical_not(face_ok), axis=1, stable=True)
+        keep = order[:, :budget]
+        bb_k = jnp.take_along_axis(bbox, keep[..., None], axis=1)
+        ok_k = jnp.take_along_axis(face_ok, keep, axis=1)
+        ids_c, starts, glob = jax.vmap(
+            lambda bb, ok: bin_faces_packed(bb, ok, image_size, (8, 128),
+                                            sy_span, sx_span, global_cap)
+        )(bb_k, ok_k)
+        face_ids = jnp.take_along_axis(keep, ids_c, axis=1)
+        g0 = n_cols + 1  # glob layout: [gstarts | gids (G*TX) | 8 pad]
+        gseg = jnp.take_along_axis(keep, glob[:, g0:g0 + global_cap * n_cols],
+                                   axis=1)
+        glob = glob.at[:, g0:g0 + global_cap * n_cols].set(gseg)
+        # Pad the compact id list to the full-path length so both cond
+        # branches return identical shapes (pad ids are no-ops past the
+        # starts ranges; see launch()).
+        pad = f * sy_span * sx_span - face_ids.shape[1]
+        face_ids = jnp.pad(face_ids, ((0, 0), (0, pad)))
+        return face_ids, starts, glob
+
+    fits = jnp.max(jnp.sum(face_ok, axis=1)) <= budget
+    rgb, depth = launch(*jax.lax.cond(fits, bin_compact, bin_full, None))
     return rgb[:, :, :h, :w], depth[:, :h, :w]
 
 

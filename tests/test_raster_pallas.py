@@ -230,3 +230,44 @@ def test_auto_binning_selection(monkeypatch):
     assert dispatch(rp._COLS_MIN_FACES) == [("cols", rp._COLS_MIN_FACES)]
     big = rp._FACE_CHUNK + 100
     assert dispatch(big) == [("cols", rp._FACE_CHUNK), ("sort", 100)]
+
+
+def test_cols_compact_binning_matches_full():
+    """The cull/padding compaction path (valid-first partition before span
+    expansion) must reproduce the full-length binning bit-for-bit, and the
+    overflow fallback must engage when counts exceed the budget."""
+    from deepim_tpu.raster.mesh import cull_direction
+    from deepim_tpu.raster.raster_pallas import (
+        _render_from_params_cols, pack_face_params, FLAT_LIGHTING,
+    )
+
+    mesh = icosphere_mesh(0.08, subdivisions=2)  # closed, ~320 faces
+    poses = _poses(3, seed=5, z=0.45)
+    ks = jnp.tile(K, (poses.shape[0], 1, 1))
+    cd = jnp.asarray(cull_direction(mesh), jnp.float32)
+    assert float(cd) != 0.0  # closed mesh: culling active
+    params, bbox, face_ok = jax.vmap(
+        lambda p, kk: pack_face_params(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors), jnp.asarray(mesh.normals),
+            p, kk, FLAT_LIGHTING, 0.01, cull_dir=cd)
+    )(poses, ks)
+    f = int(face_ok.shape[1])
+    counts = np.asarray(jnp.sum(face_ok, axis=1))
+    assert counts.max() < f * 0.625  # culling halves the valid set
+
+    full = _render_from_params_cols(params, bbox, face_ok, (H, W),
+                                    interpret=True, compact_frac=0.0)
+    compact = _render_from_params_cols(params, bbox, face_ok, (H, W),
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(compact[1]),
+                                  np.asarray(full[1]))  # depth
+    np.testing.assert_array_equal(np.asarray(compact[0]),
+                                  np.asarray(full[0]))  # rgb
+    # the compact render is non-trivial (object actually visible)
+    assert float(jnp.sum(compact[1] > 0)) > 100
+
+    # Overflow: a budget below the valid count must fall back losslessly.
+    tiny = _render_from_params_cols(params, bbox, face_ok, (H, W),
+                                    interpret=True, compact_frac=0.05)
+    np.testing.assert_array_equal(np.asarray(tiny[1]), np.asarray(full[1]))
