@@ -29,6 +29,17 @@ def parse_args(argv=None):
                         "sequences run to thousands of frames (tens of GB "
                         "as one device array); windows carry the pose "
                         "across boundaries with identical results")
+    p.add_argument("--occluders", type=int, default=0,
+                   help="generated sequences only: add N untracked "
+                        "distractor boxes sweeping in front of the "
+                        "tracked objects (occlusion-induced track loss)")
+    p.add_argument("--recover-threshold", type=float, default=None,
+                   help="arm lost-track recovery: score_poses confidence "
+                        "below this triggers multi-hypothesis "
+                        "re-acquisition (try -0.12; scores are -mean "
+                        "truncated |RGB diff| over visible foreground)")
+    p.add_argument("--recover-hypotheses", type=int, default=4)
+    p.add_argument("--recover-iters", type=int, default=4)
     p.add_argument("--label-ids", choices=("slot", "global"),
                    default="slot",
                    help="label.png pixel convention: 'slot' = 1 + object "
@@ -78,7 +89,8 @@ def main(argv=None):
 
     root = args.video_root
     if not root:
-        root = os.path.join(out_dir, "video_data")
+        suffix = f"_occ{args.occluders}" if args.occluders else ""
+        root = os.path.join(out_dir, f"video_data{suffix}")
         if not os.path.isdir(os.path.join(root, "video_sets")):
             print(f"generating synthetic video dataset under {root}")
             meshes = {n: PROCEDURAL_MESHES[n]() for n in names}
@@ -86,7 +98,8 @@ def main(argv=None):
                       num_frames=args.num_frames,
                       renderer="xla" if jax.devices()[0].platform == "cpu"
                       else "pallas",
-                      objects_per_sequence=args.objects_per_seq or None)
+                      objects_per_sequence=args.objects_per_seq or None,
+                      occluders=args.occluders)
     ds = VideoDataset(root, names)
 
     renderer = (cfg.test.renderer
@@ -161,7 +174,18 @@ def main(argv=None):
                 iters_rest=args.iters_rest,
                 out_size=out_size, renderer=renderer,
                 obs_depths=obs_depths, obs_masks=obs_masks,
+                recover_threshold=args.recover_threshold,
+                recover_hypotheses=args.recover_hypotheses,
+                recover_iters=args.recover_iters,
+                key=jax.random.PRNGKey(17 + w0),
             )
+            if args.recover_threshold is not None:
+                traj, conf = traj
+                n_low = int((np.asarray(conf)
+                             < args.recover_threshold).sum())
+                if n_low:
+                    print(f"  seq {seq} window {w0}: {n_low} low-"
+                          f"confidence frame-objects (recovery armed)")
             carry_pose = traj[-1]
             t_w, m = traj.shape[0], traj.shape[1]
             t_total += t_w

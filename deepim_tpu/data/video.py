@@ -444,7 +444,8 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
               image_size: tuple[int, int], num_frames: int = 10,
               num_sequences: int = 1, seed: int = 0,
               renderer: str = "xla",
-              objects_per_sequence: int | None = None) -> VideoDataset:
+              objects_per_sequence: int | None = None,
+              occluders: int = 0) -> VideoDataset:
     """Generate smooth-trajectory sequences (toolkit parity: the reference
     consumes recorded YCB videos; here the framework's own renderer
     synthesizes them).
@@ -453,6 +454,12 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
     a noise background.  ``objects_per_sequence`` splits the object set
     into groups per sequence (1 = single-object sequences, the LM6d-style
     tracking protocol; None = all objects per frame, the YCB-style scene).
+
+    ``occluders`` adds that many untracked distractor boxes sweeping
+    ACROSS the camera frustum in front of the tracked objects — the
+    occlusion-induced track-loss regime of real YCB sequences.  Occluder
+    pixels overwrite RGB/depth and zero the label (they are background to
+    the trackers); GT poses are untouched.
     """
     import jax
     import jax.numpy as jnp
@@ -468,6 +475,17 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
         ds._frames.write_model(o, meshes[o])
     assets = build_assets([meshes[o] for o in objects], num_points=256)
     kj = jnp.asarray(k, jnp.float32)
+
+    occ_assets = None
+    if occluders:
+        from deepim_tpu.raster.mesh import box_mesh
+
+        rng = np.random.RandomState(seed + 91)
+        occ_assets = build_assets(
+            [box_mesh(tuple(rng.uniform(0.06, 0.14, 3)))
+             for _ in range(occluders)],
+            num_points=8,
+        )
 
     group = objects_per_sequence or len(objects)
     groups = [
@@ -502,10 +520,47 @@ def gen_video(root: str, meshes: dict, k: np.ndarray,
 
             cls = jnp.asarray(members, jnp.int32)
             light = random_lighting(kl)
+
+            occ_poses = None
+            if occ_assets is not None:
+                # Straight front-crossing sweeps: x spans the frustum
+                # width at an in-front depth over the middle of the clip,
+                # guaranteeing transient full occlusions of the tracked
+                # objects behind.
+                ko = jax.random.fold_in(key, 33)
+                kz, kyy, kr = jax.random.split(ko, 3)
+                n_occ = occ_assets.num_classes
+                z_occ = jax.random.uniform(kz, (n_occ,), minval=0.42,
+                                           maxval=0.6)
+                y_occ = jax.random.uniform(kyy, (n_occ,), minval=-0.06,
+                                           maxval=0.06)
+                ang = jax.random.uniform(kr, (n_occ, 3), minval=-1.5,
+                                         maxval=1.5)
+                from deepim_tpu.geometry.rotations import euler2mat
+
+                r_occ = jax.vmap(euler2mat)(ang[:, 0], ang[:, 1], ang[:, 2])
+                half_w = 0.55 * image_size[1] / float(k[0, 0])  # ~frustum
+                sweep = jnp.linspace(-half_w, half_w, num_frames)
+                occ_poses = []
+                for t in range(num_frames):
+                    x_t = (sweep[t] + jnp.arange(n_occ) * 0.08) * z_occ
+                    tr = jnp.stack([x_t, y_occ, z_occ], -1)
+                    occ_poses.append(
+                        jnp.concatenate([r_occ, tr[..., None]], -1))
+
             rgbs, depths, labels = [], [], []
             for t in range(num_frames):
                 rgb, dep, lab = _render_frame(assets, cls, poses[t], kj,
                                               image_size, renderer, light)
+                if occ_poses is not None:
+                    occ_cls = jnp.arange(occ_assets.num_classes, dtype=jnp.int32)
+                    orgb, odep, _ = _render_frame(
+                        occ_assets, occ_cls, occ_poses[t], kj, image_size,
+                        renderer, light)
+                    front = (odep > 0) & ((dep == 0) | (odep < dep))
+                    rgb = jnp.where(front[..., None], orgb, rgb)
+                    dep = jnp.where(front, odep, dep)
+                    lab = jnp.where(front, 0, lab)
                 bg = jax.random.uniform(
                     jax.random.fold_in(kb, t), rgb.shape
                 )

@@ -50,18 +50,34 @@ def score_poses(
     obs_depth: jax.Array | None = None,  # (N, H, W) metric, 0 = missing
     trunc: float = 0.25,
     depth_margin: float = 0.02,
+    depth_weight: float = 1.0,
+    depth_trunc: float = 0.05,
+    box=None,  # ZoomBox of (N,) leaves: fixed zoom windows (common frame)
 ) -> jax.Array:
     """Render-vs-observed agreement score per pose -> (N,) (higher=better).
 
     ``trunc`` caps each pixel's |RGB diff| contribution (occlusion
-    robustness); ``obs_depth`` additionally masks out pixels whose
+    robustness); ``obs_depth`` additionally (a) masks out pixels whose
     observed surface is more than ``depth_margin`` nearer than the
     rendered object (occluded by a distractor — those pixels say nothing
-    about pose agreement).
+    about pose agreement), and (b) adds a depth-AGREEMENT term
+    (|obs - rendered| truncated at ``depth_trunc`` meters, weighted
+    ``depth_weight`` relative to RGB) on visible pixels where both
+    surfaces exist: the zoom crop normalizes object scale, so RGB alone
+    cannot see z error on low-texture objects — depth can, in both
+    directions.
+
+    ``box`` (optional) fixes the zoom window per sample instead of
+    deriving it from each pose: candidates measured in their OWN frame
+    are biased toward nearer-z poses (a bigger crop shrinks the observed
+    offset in crop units), so rankings across widely-spread candidates —
+    lost-track re-seeds — should pass one COMMON box (e.g. the
+    incumbent's).  Converged-hypothesis selection keeps the default.
     """
-    box = jax.vmap(
-        lambda p, kk, c: compute_zoom_box(p, kk, c, out_size)
-    )(poses, k, assets_b.corners)
+    if box is None:
+        box = jax.vmap(
+            lambda p, kk, c: compute_zoom_box(p, kk, c, out_size)
+        )(poses, k, assets_b.corners)
     kz = zoom_intrinsics(k, box)
     ren_rgb, ren_depth = render_crops(assets_b, poses, kz, out_size, renderer)
     obs_crop = zoom_image_batch(obs_rgb, box, out_size,
@@ -74,21 +90,44 @@ def score_poses(
         occluded = (obs_d > 0) & (obs_d < ren_depth - depth_margin)
         vis = fg * (1.0 - occluded.astype(jnp.float32))
     diff = jnp.mean(jnp.abs(obs_crop - ren_rgb), axis=-1)
+    if obs_depth is not None and depth_weight > 0:
+        # Depth agreement in trunc units: the zoom crop normalizes object
+        # scale, so RGB alone cannot see z error on low-texture objects —
+        # depth can, in both directions.  Where the render claims a
+        # surface but the observation has NONE (obs_d == 0: empty
+        # background, or sensor dropout), charge the full cap: "matches
+        # nothing" must not be cheaper than "matches wrongly" (dark
+        # renders over empty background otherwise outscore partial true
+        # overlap — observed in lost-track re-seed ranking; on real
+        # RGB-D, background surfaces behind the object saturate this
+        # same term via their distance).
+        ddiff = jnp.where(
+            obs_d > 0,
+            jnp.minimum(jnp.abs(obs_d - ren_depth), depth_trunc)
+            * (trunc / depth_trunc),
+            depth_trunc * (trunc / depth_trunc),
+        )
+        diff = diff + depth_weight * ddiff
+    # Per-pixel cost is capped at trunc, and each OCCLUDED foreground
+    # pixel is charged exactly that cap: occluded pixels carry no pose
+    # evidence, but they must not be cheaper than honest disagreement —
+    # a z-runaway hypothesis (object pushed behind the truly-observed
+    # surface) marks its own disagreeing pixels "occluded" and would
+    # otherwise score on the agreeable remainder alone (observed during
+    # lost-track recovery, whose re-seed noise explores exactly that
+    # direction).  At the cap, an occluded pixel TIES a disagreeing one,
+    # so under genuine distractor occlusion candidates are ranked purely
+    # by their visible agreement (the validated round-3 behavior), a
+    # fully occluded pose ties a fully wrong visible one, and argmax
+    # tie-breaking keeps hypothesis 0 (the incumbent/init).
+    # fg_count == 0 (nothing rendered: diverged past the near plane /
+    # out of frame) would score a perfect 0.0 -> -inf.
     diff = jnp.minimum(diff, trunc) * vis
     fg_count = jnp.sum(fg, axis=(1, 2))
     vis_count = jnp.sum(vis, axis=(1, 2))
-    score = -jnp.sum(diff, axis=(1, 2)) / jnp.maximum(vis_count, 1.0)
-    # Two degenerate cases, deliberately distinct:
-    # - fg_count == 0: the pose renders NOTHING (diverged past the near
-    #   plane / out of frame).  It would otherwise score a perfect 0.0
-    #   and beat every valid hypothesis at the argmax -> -inf.
-    # - fg_count > 0 but vis_count == 0: the object renders but every
-    #   foreground pixel is occluded by a nearer surface.  There is no
-    #   evidence either way, so score the truncation floor (the worst a
-    #   fully *visible* hypothesis can score): the fully-occluded true
-    #   pose then TIES wrong-but-visible hypotheses instead of losing to
-    #   them, and argmax tie-breaking keeps hypothesis 0 (the init).
-    score = jnp.where(vis_count > 0, score, -trunc)
+    occ_count = fg_count - vis_count
+    score = -(jnp.sum(diff, axis=(1, 2)) + trunc * occ_count) \
+        / jnp.maximum(fg_count, 1.0)
     return jnp.where(fg_count > 0, score, -jnp.inf)
 
 

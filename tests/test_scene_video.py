@@ -314,3 +314,62 @@ def test_cli_track_end_to_end(tmp_path):
     with open(results_path) as f:
         windowed = json.load(f)
     assert windowed["mean"] == whole["mean"]
+
+
+def test_refine_video_lost_track_recovery(assets):
+    """Confidence-gated re-acquisition (round-3 VERDICT #7): with an
+    identity refiner, plain propagation keeps a broken init forever;
+    armed recovery must (a) leave healthy tracks bit-identical, (b) only
+    ever improve the agreement score, and (c) actually pull a grossly
+    broken track closer to GT on a static scene."""
+    from deepim_tpu.refine.hypotheses import score_poses
+
+    model = DeepIMFlowNet(num_classes=2, dtype=jnp.float32,
+                          with_flow=False, with_mask=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)))
+    T, B = 3, 1
+    cls = jnp.array([1])  # icosphere
+    gt = _pose(0.7)[None]
+    k = jnp.tile(K_CAM[None], (B, 1, 1))
+    ab = gather_class(assets, cls)
+    frame, fdepth = render_crops(ab, gt, k, (H, W), "xla")
+    frames = jnp.broadcast_to(frame[0][None], (T, H, W, 3))
+    # depth stream: the zoom crop normalizes object scale, so the RGB
+    # score alone is z-ambiguous; depth anchors the recovery in z
+    depths = jnp.broadcast_to(fdepth[0][None], (T, H, W))
+
+    bad = _pose(0.7, tx=0.06, ty=0.03)[None]
+    sc_gt = float(score_poses(ab, frame, gt, k, (H, W), "xla",
+                              obs_depth=fdepth)[0])
+    sc_bad = float(score_poses(ab, frame, bad, k, (H, W), "xla",
+                               obs_depth=fdepth)[0])
+    assert sc_bad < sc_gt  # the broken pose is detectably worse
+    thresh = 0.5 * (sc_gt + sc_bad)
+
+    common = dict(iters_first=1, iters_rest=1, out_size=(H, W),
+                  renderer="xla", obs_depths=depths)
+    # (a) healthy track: armed == disarmed, bit-identical
+    plain = refine_video(variables, model, assets, frames, gt, k, cls,
+                         **common)
+    armed, sc = refine_video(variables, model, assets, frames, gt, k, cls,
+                             recover_threshold=thresh,
+                             key=jax.random.PRNGKey(3), **common)
+    assert armed.shape == (T, B, 3, 4) and sc.shape == (T, B)
+    np.testing.assert_array_equal(np.asarray(armed), np.asarray(plain))
+    assert np.all(np.asarray(sc) >= thresh)
+
+    # (b)+(c) broken track: identity net never recovers on its own...
+    lost = refine_video(variables, model, assets, frames, bad, k, cls,
+                        **common)
+    np.testing.assert_allclose(np.asarray(lost[-1]), np.asarray(bad),
+                               atol=1e-5)
+    # ...armed recovery improves the score monotonically vs the stuck
+    # track and lands measurably closer to GT
+    rec, sc_rec = refine_video(variables, model, assets, frames, bad, k,
+                               cls, recover_threshold=thresh,
+                               recover_hypotheses=16, recover_iters=1,
+                               key=jax.random.PRNGKey(4), **common)
+    assert float(sc_rec[-1, 0]) > sc_bad
+    err_lost = float(jnp.linalg.norm(lost[-1, 0, :, 3] - gt[0, :, 3]))
+    err_rec = float(jnp.linalg.norm(rec[-1, 0, :, 3] - gt[0, :, 3]))
+    assert err_rec < err_lost
