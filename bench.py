@@ -190,6 +190,9 @@ def bench_train() -> int:
 
 
 def main() -> int:
+    from deepim_tpu.utils.platform import respect_platform_env
+
+    respect_platform_env()
     if os.environ.get("BENCH_TRAIN"):
         if WAIT_FOR_DEVICE_SEC:
             _wait_for_device(WAIT_FOR_DEVICE_SEC)
@@ -198,6 +201,7 @@ def main() -> int:
         _wait_for_device(WAIT_FOR_DEVICE_SEC)
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from deepim_tpu.geometry.symmetry import rot_z_syms
     from deepim_tpu.models import DeepIMFlowNet, bottleneck_grid
@@ -211,16 +215,52 @@ def main() -> int:
     platform = jax.devices()[0].platform
     renderer = "pallas" if platform == "tpu" else "xla"
 
-    meshes = [
-        box_mesh((0.08, 0.1, 0.06)),
-        icosphere_mesh(0.05, subdivisions=3),
-        cylinder_mesh(),
-        torus_mesh(),
-    ]
-    assets = build_assets(
-        meshes, sym_transforms=[rot_z_syms(2), None, None, rot_z_syms(8)],
-        num_points=3000,
-    )
+    # BENCH_FACES=<F>: run the identical protocol with every mesh at an
+    # F-face budget (dense procedural meshes decimated to F — the
+    # decimation path real scanned assets take; max_faces defaults to
+    # 4096 in configs, real YCB scans are 100k+ -> decimated).  The
+    # poses/s-vs-F curve makes the headline's face budget explicit.
+    # BENCH_CULL=0 disables back-face culling for the cull-on/off deltas.
+    # BENCH_CLASSES=21: YCB-scale textured variant — 21 zoo meshes at the
+    # face budget with per-class textures (deferred-UV atlas path),
+    # validating VMEM/HBM budgets at the real class count.
+    faces = int(os.environ.get("BENCH_FACES", "0"))
+    n_classes = int(os.environ.get("BENCH_CLASSES", "0"))
+    cull_on = os.environ.get("BENCH_CULL", "1") != "0"
+    if n_classes:
+        from deepim_tpu.raster.mesh import decimate_mesh, random_mesh_zoo
+
+        zoo = random_mesh_zoo(n_classes, seed=11, texture_prob=1.0)
+        meshes = [decimate_mesh(m, faces or 4096) for m in zoo.values()]
+        assets = build_assets(meshes, num_points=3000, use_textures=True)
+    elif faces:
+        from deepim_tpu.raster.mesh import decimate_mesh
+
+        dense = [
+            icosphere_mesh(0.05, subdivisions=5),       # ~20k faces
+            torus_mesh(n_major=96, n_minor=48),         # ~9.2k
+            cylinder_mesh(segments=2048),               # ~8.2k
+            icosphere_mesh(0.07, subdivisions=5),
+        ]
+        meshes = [decimate_mesh(m, faces) for m in dense]
+        assets = build_assets(
+            meshes, sym_transforms=[None, rot_z_syms(8), None, None],
+            num_points=3000,
+        )
+    else:
+        meshes = [
+            box_mesh((0.08, 0.1, 0.06)),
+            icosphere_mesh(0.05, subdivisions=3),
+            cylinder_mesh(),
+            torus_mesh(),
+        ]
+        assets = build_assets(
+            meshes,
+            sym_transforms=[rot_z_syms(2), None, None, rot_z_syms(8)],
+            num_points=3000,
+        )
+    if not cull_on and assets.cull_dir is not None:
+        assets = assets._replace(cull_dir=jnp.zeros_like(assets.cull_dir))
     model = DeepIMFlowNet(num_classes=assets.num_classes,
                           head_grid=bottleneck_grid(480, 640),
                           quant="int8" if QUANT.startswith("int8")
@@ -297,6 +337,10 @@ def main() -> int:
         "timing": "pipelined_throughput" if PIPELINE_REPS else
                   "serial_median_of_5",
         "quant": QUANT,
+        "faces": int(max(np.asarray(m.faces).shape[0] for m in meshes)),
+        "classes": assets.num_classes,
+        "textured": bool(assets.textured),
+        "cull": cull_on,
         # 12 poses/s is the DeepIM paper's recalled timing remark
         # (GTX-1080-class GPU + OpenGL, K=2-4), not a measured rerun —
         # see BASELINE.md for the confidence discussion

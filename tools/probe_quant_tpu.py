@@ -4,6 +4,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from deepim_tpu.utils.platform import respect_platform_env
+
+respect_platform_env()
+
 from bench import _wait_for_device  # shared axon-tunnel retry loop
 
 _wait_for_device(int(os.environ.get("PROBE_WAIT", "3600")))

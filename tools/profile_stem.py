@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from deepim_tpu.utils.platform import respect_platform_env
+
+respect_platform_env()
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
