@@ -8,6 +8,7 @@ model's pose outputs closely on random weights.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from deepim_tpu.models.flownet import (
@@ -238,6 +239,7 @@ def test_calibration_stats_all_modes():
     assert float(st["amax"]) == np.max(np.asarray(st["amax_c"]))
 
 
+@pytest.mark.slow
 def test_calibrate_modes_output_types_and_accuracy():
     """p999 yields smaller-or-equal scalar scales than max; _c modes give
     per-channel tuples; every calibrated clone tracks the dynamic model."""

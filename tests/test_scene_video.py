@@ -316,6 +316,7 @@ def test_cli_track_end_to_end(tmp_path):
     assert windowed["mean"] == whole["mean"]
 
 
+@pytest.mark.slow
 def test_refine_video_lost_track_recovery(assets):
     """Confidence-gated re-acquisition (round-3 VERDICT #7): with an
     identity refiner, plain propagation keeps a broken init forever;
