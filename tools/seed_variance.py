@@ -1,0 +1,50 @@
+"""Aggregate seed-variance eval runs -> mean ± σ per metric.
+
+    python tools/seed_variance.py output/occlusion_small_seed3 \
+        output/occlusion_small_seed4 output/occlusion_small_seed5
+
+Reads each run's ``eval_results.json`` (written by ``cli.test``) and
+prints the cross-seed mean, sample σ, and range for the headline
+metrics — the training-side noise floor that protocol deltas must clear
+(round-3 VERDICT #1: two same-config 30k runs measured 4.3 ADD points
+apart with nobody able to say why).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    dirs = (argv or sys.argv[1:])
+    if len(dirs) < 2:
+        print(__doc__)
+        return 2
+    metrics = ("add(-s)_0.1d", "5deg_5cm", "proj2d_5px", "auc_add(-s)")
+    rows = []
+    for d in dirs:
+        path = os.path.join(d, "eval_results.json")
+        with open(path) as f:
+            res = json.load(f)
+        rows.append((d, res["mean"], res.get("num_samples")))
+    print(f"{'run':<36}" + "".join(f"{m:>14}" for m in metrics) + f"{'n':>7}")
+    for d, m, n in rows:
+        print(f"{os.path.basename(d.rstrip('/')):<36}"
+              + "".join(f"{m[k]:>14.2f}" for k in metrics) + f"{n:>7}")
+    print("-" * (36 + 14 * len(metrics) + 7))
+    for label, fn in (
+        ("mean", lambda v: sum(v) / len(v)),
+        ("sigma", lambda v: math.sqrt(
+            sum((x - sum(v) / len(v)) ** 2 for x in v) / (len(v) - 1))),
+        ("range", lambda v: max(v) - min(v)),
+    ):
+        vals = [fn([m[k] for _, m, _ in rows]) for k in metrics]
+        print(f"{label:<36}" + "".join(f"{v:>14.2f}" for v in vals))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
