@@ -330,22 +330,80 @@ class QDense(nn.Module):
         return y.astype(jnp.float32) * sx * sk + bias
 
 
-class Deconv(nn.Module):
-    """Transposed conv 4x4/s2 + LeakyReLU (FlowNetS upsampling block)."""
+class FastConvTranspose(nn.Module):
+    """``nn.ConvTranspose((4, 4), strides=(2, 2), padding="SAME")`` —
+    exact same math and parameter tree, MXU-shaped execution.
+
+    XLA lowers a transposed conv to ``conv_general_dilated`` with
+    ``lhs_dilation=2`` (the input zero-stuffed 2x in each spatial dim),
+    which the TPU backend executes catastrophically badly at decoder
+    sizes: profiling the flagship train step measured the five-level
+    decoder FORWARD at 318 ms of a 422 ms step, <1% MFU (while the
+    encoder ran at 38%) — the round-3 "backward deconvs" guess had the
+    direction wrong.  The fix is the stride-2 phase decomposition (the
+    reverse of StemConv's space-to-depth): with SAME padding (pad 2,2)
+    output row 2i+p draws only kernel rows {p, p+2} at input rows
+    {i+p-1, i+p}, so the whole deconv is ONE dense VALID 2x2 conv of the
+    1-padded input with the phase-major sub-kernel stack
+    ``W[py::2, px::2]`` -> (2, 2, C, 4*O), followed by slicing the four
+    phase grids and a depth-to-space interleave.  Bit-equal parameters
+    (reads the same ``kernel``/``bias``), numerically equal output
+    (tests/test_model_losses.py parity test).
+    """
 
     features: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(
-            self.features,
-            (4, 4),
-            strides=(2, 2),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        c = x.shape[-1]
+        o = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, c, o), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (o,), jnp.float32)
+        dt = self.dtype
+        # phase-major sub-kernel stack: phase (py, px) -> W[py::2, px::2]
+        w_all = jnp.concatenate(
+            [kernel[py::2, px::2] for py in (0, 1) for px in (0, 1)],
+            axis=-1,
+        )  # (2, 2, c, 4o)
+        b_, h, w = x.shape[0], x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(dt)
+        ph = jax.lax.conv_general_dilated(
+            xp, w_all.astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (b, h+1, w+1, 4o)
+        grids = jnp.stack(
+            [ph[:, :h, :w, :o], ph[:, :h, 1:, o:2 * o],
+             ph[:, 1:, :w, 2 * o:3 * o], ph[:, 1:, 1:, 3 * o:]],
+            axis=3,
+        )  # (b, h, w, 4[py*2+px], o)
+        y = grids.reshape(b_, h, w, 2, 2, o)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, o)
+        return y + bias.astype(dt)
+
+
+class Deconv(nn.Module):
+    """Transposed conv 4x4/s2 + LeakyReLU (FlowNetS upsampling block)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    fast: bool = True  # phase-decomposed deconv (see FastConvTranspose)
+
+    @nn.compact
+    def __call__(self, x):
+        if self.fast:
+            x = FastConvTranspose(self.features, self.dtype,
+                                  name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                (4, 4),
+                strides=(2, 2),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         return leaky(x)
 
 
@@ -404,6 +462,10 @@ class DeepIMFlowNet(nn.Module):
     # a future variant where the zoom/render producers emit the s2d layout
     # directly.
     stem_s2d: bool = False
+    # Phase-decomposed decoder deconvs (FastConvTranspose): exact same
+    # math/params, ~10x faster forward on TPU (XLA's lhs-dilated conv
+    # lowering is pathological at decoder sizes — DESIGN §20).
+    fast_deconv: bool = True
     # Fixed bottleneck grid for the flatten pose head.  When set, a
     # bottleneck whose spatial dims differ (the network ran at a coarser
     # input resolution) is bilinearly resized to this grid before the
@@ -477,11 +539,17 @@ class DeepIMFlowNet(nn.Module):
             flow = _predict_flow(feat, dt, "predict_flow6")
             flows[6] = flow
             for lvl in (5, 4, 3, 2):
-                up_feat = Deconv(deconv_ch[lvl], dt, name=f"deconv{lvl}")(feat)
-                up_flow = nn.ConvTranspose(
-                    2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt,
-                    param_dtype=jnp.float32, name=f"upsample_flow{lvl + 1}to{lvl}",
-                )(flow)
+                up_feat = Deconv(deconv_ch[lvl], dt, fast=self.fast_deconv,
+                                 name=f"deconv{lvl}")(feat)
+                if self.fast_deconv:
+                    up_flow = FastConvTranspose(
+                        2, dt, name=f"upsample_flow{lvl + 1}to{lvl}")(flow)
+                else:
+                    up_flow = nn.ConvTranspose(
+                        2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt,
+                        param_dtype=jnp.float32,
+                        name=f"upsample_flow{lvl + 1}to{lvl}",
+                    )(flow)
                 skip = skips[lvl]
                 feat = jnp.concatenate(
                     [skip, _crop_to(up_feat, skip), _crop_to(up_flow, skip)], axis=-1

@@ -310,3 +310,53 @@ def test_euler_rot_type_end_to_end():
         euler2quat(raw[:, 0], raw[:, 1], raw[:, 2]),
         atol=1e-6,
     )
+
+
+def test_fast_conv_transpose_matches_flax():
+    """FastConvTranspose (phase-decomposed deconv, DESIGN §20) must equal
+    nn.ConvTranspose((4,4)/s2/SAME) numerically on the same params —
+    including the odd decoder heights (15x20) and tiny bottleneck."""
+    import flax.linen as nn
+
+    from deepim_tpu.models.flownet import FastConvTranspose
+
+    for (h, w, c, o) in [(8, 10, 16, 8), (15, 20, 12, 6), (6, 6, 3, 2),
+                         (1, 1, 4, 4)]:
+        x = jax.random.normal(jax.random.PRNGKey(h * w), (2, h, w, c),
+                              jnp.float32)
+        fast = FastConvTranspose(o, dtype=jnp.float32)
+        ref = nn.ConvTranspose(o, (4, 4), strides=(2, 2), padding="SAME",
+                               dtype=jnp.float32, param_dtype=jnp.float32)
+        vf = fast.init(jax.random.PRNGKey(0), x)
+        # identical param tree (kernel/bias names and shapes)
+        vr = ref.init(jax.random.PRNGKey(0), x)
+        assert jax.tree.map(lambda a: a.shape, vf) == \
+            jax.tree.map(lambda a: a.shape, vr)
+        y_fast = fast.apply(vf, x)
+        y_ref = ref.apply(vf, x)
+        assert y_fast.shape == (2, 2 * h, 2 * w, o) == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fast_deconv_model_parity():
+    """The whole decoder with fast_deconv on/off restores the same
+    checkpoint tree and produces matching flow/mask outputs."""
+    kw = dict(num_classes=2, dtype=jnp.float32, with_flow=True,
+              with_mask=True, fc_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 96, 6))
+    slow = DeepIMFlowNet(**kw, fast_deconv=False)
+    fast = DeepIMFlowNet(**kw, fast_deconv=True)
+    v = slow.init(jax.random.PRNGKey(0), x)
+    v2 = fast.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(lambda a: a.shape, v) == \
+        jax.tree.map(lambda a: a.shape, v2)
+    out_s = slow.apply(v, x)
+    out_f = fast.apply(v, x)
+    for lvl in out_s["flow"]:
+        np.testing.assert_allclose(np.asarray(out_f["flow"][lvl]),
+                                   np.asarray(out_s["flow"][lvl]),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f["mask_logit"]),
+                               np.asarray(out_s["mask_logit"]),
+                               rtol=2e-4, atol=2e-4)
