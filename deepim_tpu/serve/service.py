@@ -60,7 +60,8 @@ class PoseRefinerService:
                  load_checkpoint: bool = True,
                  gather_window_s: float = 0.002,
                  num_iters: int | None = None,
-                 calibration_batches=None):
+                 calibration_batches=None,
+                 calibration_mode: str = "max"):
         import jax
         import numpy as np
 
@@ -130,7 +131,7 @@ class PoseRefinerService:
             self.model = calibrate_model(
                 self.model, self.params, self.assets, calib, k_cam,
                 self._out_size, renderer=cfg.test.renderer,
-                num_iters=self.num_iters,
+                num_iters=self.num_iters, mode=calibration_mode,
             )
 
         self._queue: queue.Queue = queue.Queue()
