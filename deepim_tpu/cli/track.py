@@ -111,12 +111,18 @@ def main(argv=None):
         cls = ks = None
         carry_pose = None  # pose carried across window boundaries
         t_total = m = 0
+        # Depth feeds the CNN only for input_depth models, but ALSO the
+        # recovery confidence score (z-resolution the scale-normalizing
+        # zoom denies to RGB — score_poses docstring); load it whenever
+        # either consumer is active.
+        want_depth = (cfg.network.input_depth
+                      or args.recover_threshold is not None)
         for w0 in range(0, n_frames, win):
             # Stream one window from disk — frames are shared across the
             # M tracked objects (refine_video broadcasts per step; no
             # M-fold copy, no whole-sequence device array).
             data = ds.load_sequence(seq,
-                                    with_depths=cfg.network.input_depth,
+                                    with_depths=want_depth,
                                     with_labels=cfg.network.input_mask,
                                     start=w0, count=win)
             frames = jnp.asarray(data["frames"])  # (T, H, W, 3) shared
@@ -131,12 +137,13 @@ def main(argv=None):
             else:
                 init = carry_pose
             obs_depths = None
-            if cfg.network.input_depth:
+            if want_depth:
                 # input_depth checkpoints must track with the recorded
-                # depth stream, not the rendered-depth fallback.
+                # depth stream, not the rendered-depth fallback; RGB-only
+                # models with recovery armed use it for scoring only.
                 if data["depths"] is not None:
                     obs_depths = jnp.asarray(data["depths"])  # shared
-                elif w0 == 0:
+                elif w0 == 0 and cfg.network.input_depth:
                     print(f"WARNING: seq {seq} has no depth stream; "
                           "input_depth model falls back to rendered depth")
             obs_masks = None
