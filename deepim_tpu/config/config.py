@@ -112,6 +112,12 @@ class TrainConfig:
     sym_aware_pm: bool = True
     w_flow: float = 0.1
     w_mask: float = 0.1
+    # Pixel stride of the flow-GT visibility (occlusion) check.  The flow
+    # loss pools its masks to the decoder pyramid (finest level = 4 px),
+    # so the default matches supervision granularity; 1 = the reference's
+    # per-pixel check (a full-res scattered gather XLA:TPU runs at
+    # ~70M idx/s — it was 66% of the flagship train step; DESIGN §20).
+    flow_occ_stride: int = 4
     renderer: str = "pallas"
     checkpoint_every: int = 1000
     log_every: int = 20

@@ -463,9 +463,13 @@ class DeepIMFlowNet(nn.Module):
     # directly.
     stem_s2d: bool = False
     # Phase-decomposed decoder deconvs (FastConvTranspose): exact same
-    # math/params, ~10x faster forward on TPU (XLA's lhs-dilated conv
-    # lowering is pathological at decoder sizes — DESIGN §20).
-    fast_deconv: bool = True
+    # math/params (checkpoints interchangeable both ways).  Measured
+    # NEUTRAL on v5e at flagship shapes — full decoder forward 22.4 ms
+    # phase-decomposed vs 20.5 ms ConvTranspose; the "slow decoder" the
+    # rewrite targeted was actually the flow-GT visibility gather
+    # (DESIGN §20), so the plain lowering stays the default.  Kept (with
+    # its parity test) for backends where lhs-dilated convs do regress.
+    fast_deconv: bool = False
     # Fixed bottleneck grid for the flatten pose head.  When set, a
     # bottleneck whose spatial dims differ (the network ran at a coarser
     # input resolution) is bilinearly resized to this grid before the

@@ -190,7 +190,9 @@ def compute_losses(
                 batch["obs_depth"][..., None], box, out_size, "nearest"
             )[..., 0]
             flow_gt, valid = jax.vmap(
-                lambda ds, ps, pt, kk, dt: calc_flow(ds, ps, pt, kk, dt)
+                lambda ds, ps, pt, kk, dt: calc_flow(
+                    ds, ps, pt, kk, dt,
+                    occlusion_stride=t.flow_occ_stride)
             )(ren_depth, pose_src, pose_tgt, kz, obs_depth_crop)
             fl = flow_epe_loss(out["flow"], flow_gt, valid)
             loss_it = loss_it + t.w_flow * jnp.mean(fl)

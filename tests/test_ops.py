@@ -190,6 +190,43 @@ def test_flow_occlusion_masking():
     assert int(valid2.sum()) > 100  # self-visibility survives
 
 
+def test_flow_occlusion_stride():
+    """Strided visibility == per-pixel check evaluated at the strided
+    pixels, nearest-upsampled; flow values are untouched; scenes whose
+    visibility is constant over every 4-px block are bit-identical to
+    stride 1."""
+    m = icosphere_mesh(radius=0.05, subdivisions=2)
+    p1 = se3_from_rt(jnp.eye(3), jnp.array([0.0, 0.0, 0.5]))
+    _, depth = render_mesh(*_margs(m), p1, K, (H, W))
+    fg = np.asarray(depth > 0)
+    assert fg.sum() > 100
+
+    # Identity poses: the sample grid is the pixel grid itself, so the
+    # per-pixel visibility of a half-plane occluder is closed-form and the
+    # strided mask is its corner-subsample, exactly.
+    bnd = W // 2 + 2  # NOT 4-aligned: blocks straddle the boundary
+    xs = jnp.arange(W)[None, :] + jnp.zeros((H, 1))
+    occ_half = jnp.where(xs < bnd, 0.1, 10.0)  # near wall left of bnd
+    flow1, valid1 = calc_flow(depth, p1, p1, K, depth_tgt=occ_half)
+    flow4, valid4 = calc_flow(depth, p1, p1, K, depth_tgt=occ_half,
+                              occlusion_stride=4)
+    col = np.arange(W)[None, :].repeat(H, 0)
+    np.testing.assert_array_equal(np.asarray(valid1), fg & (col >= bnd))
+    bnd4 = ((bnd + 3) // 4) * 4  # first 4-aligned corner right of the wall
+    np.testing.assert_array_equal(np.asarray(valid4), fg & (col >= bnd4))
+    # flow agrees exactly wherever both masks are on
+    both = np.asarray(valid1) & np.asarray(valid4)
+    np.testing.assert_array_equal(np.asarray(flow1)[both],
+                                  np.asarray(flow4)[both])
+
+    # block-uniform visibility: all-hidden and all-visible walls
+    for tgt in (jnp.full((H, W), 0.1), jnp.full((H, W), 10.0)):
+        _, va = calc_flow(depth, p1, p1, K, depth_tgt=tgt)
+        _, vb = calc_flow(depth, p1, p1, K, depth_tgt=tgt,
+                          occlusion_stride=4)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
 def test_resample_affine_matches_gather_paths():
     """The separable-matmul resample == gather-based sampling on the same
     affine grid (the MXU path must be a pure reparameterization)."""
