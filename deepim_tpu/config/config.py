@@ -185,6 +185,14 @@ class DatasetConfig:
     cx: float = 325.2611
     cy: float = 242.0490
     max_faces: int = 4096  # decimation budget per mesh
+    # Coarse level-of-detail face budget for coarse-to-fine refinement:
+    # the refine loop's COARSE iterations render every mesh decimated to
+    # this budget (RenderAssets.lod).  They only correct gross pose error
+    # at half resolution, so ~1k faces is visually sufficient while
+    # cutting the dense-mesh raster cost ~2x per coarse iteration
+    # (measured at the 4,096-face real-asset budget, B=128 v5e).
+    # 0 disables (coarse iterations render the full max_faces level).
+    lod_faces: int = 1024
     num_points: int = 3000  # PM-loss / metric point samples
     # Per-pixel texture sampling for textured meshes (YCB-style): "auto"
     # uses the deferred-texturing raster path when meshes carry textures,
@@ -222,6 +230,21 @@ def _validate(cfg: "Config") -> "Config":
             f"network.quant={cfg.network.quant!r} is not one of "
             f"{QUANT_MODES} — a typo here would silently run the plain "
             "unquantized path")
+    if cfg.train.flow_occ_stride < 1:
+        raise ValueError(
+            f"train.flow_occ_stride={cfg.train.flow_occ_stride} must be "
+            ">= 1 (1 = the reference's per-pixel visibility check)")
+    # The stride is only supervision-exact while it stays at or below the
+    # flow pyramid's finest level (losses.FLOW_LEVEL_WEIGHTS: level 2 =
+    # 1/4 scale); a finer future pyramid must lower the stride with it.
+    from deepim_tpu.losses.losses import FLOW_LEVEL_WEIGHTS
+
+    finest = 2 ** min(FLOW_LEVEL_WEIGHTS)
+    if cfg.train.flow_occ_stride > finest:
+        raise ValueError(
+            f"train.flow_occ_stride={cfg.train.flow_occ_stride} exceeds "
+            f"the flow pyramid's finest supervision cell ({finest} px) — "
+            "the visibility mask would be coarser than the loss resolves")
     return cfg
 
 

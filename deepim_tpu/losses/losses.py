@@ -110,6 +110,13 @@ def _downsample_flow(flow: jax.Array, valid: jax.Array, factor: int):
     Pooling averages only over valid pixels; a pooled pixel is valid if any
     contributing pixel was.  Flow values stay in input-resolution pixels
     (the network predicts at that scale too, matching FlowNetS supervision).
+
+    Because the pooled flow is valid-weighted, a strided visibility mask
+    (``train.flow_occ_stride``) perturbs not just pooled *validity* but
+    also pooled flow *targets* in blocks straddling an occlusion boundary
+    — the pixels it masks stop contributing to the average.  This is below
+    the supervision resolution (the mask stride matches the finest pooled
+    cell), so it is accepted rather than special-cased.
     """
     b, h, w, _ = flow.shape
     f = factor

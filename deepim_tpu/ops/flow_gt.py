@@ -36,9 +36,12 @@ def calc_flow(
     check when ``depth_tgt`` is given (point not behind the observed
     surface by more than ``occlusion_tol``).
 
-    ``occlusion_stride > 1`` evaluates the visibility check on an s-strided
-    pixel grid and nearest-upsamples the result (flow itself stays exact,
-    per-pixel).  Rationale: the check is a scattered gather from
+    ``occlusion_stride > 1`` evaluates the visibility check at each s-px
+    block's CENTER pixel and nearest-upsamples the result.  Flow values
+    are exact wherever ``valid`` is True; pixels the blockwise mask turns
+    off are zeroed like any other invalid pixel (consumers that want raw
+    foreground flow should use stride 1).  Rationale: the check is a
+    scattered gather from
     ``depth_tgt``, which XLA:TPU executes at ~70M indices/s — at full res
     it was 140 ms of a 427 ms flagship train step (2×B32×480×640), 83% of
     what round 4 misattributed to the decoder forward (DESIGN §20).  The
@@ -78,12 +81,26 @@ def calc_flow(
     if depth_tgt is not None:
         s = occlusion_stride
         if s > 1:
-            coords = jnp.stack([u_t[::s, ::s], v_t[::s, ::s]], axis=-1)
+            # Sample each s-px block at its CENTER pixel (s//2 offset): a
+            # top-left representative is systematically biased toward one
+            # corner near occlusion boundaries; the center halves the
+            # worst-case boundary error at identical cost.
+            o = s // 2
+            coords = jnp.stack([u_t[o::s, o::s], v_t[o::s, o::s]], axis=-1)
             obs = nearest_sample(depth_tgt[..., None], coords,
                                  fill_value=0.0)[..., 0]
-            vis_s = (obs > 0) & (z_t[::s, ::s] <= obs + occlusion_tol)
+            vis_s = (obs > 0) & (z_t[o::s, o::s] <= obs + occlusion_tol)
             visible = jnp.repeat(jnp.repeat(vis_s, s, axis=0),
-                                 s, axis=1)[:h, :w]
+                                 s, axis=1)
+            # Center-offset grids can fall one block short of the border
+            # when H or W is not a multiple of s; edge-extend to cover.
+            pad_h = h - visible.shape[0]
+            pad_w = w - visible.shape[1]
+            if pad_h > 0 or pad_w > 0:
+                visible = jnp.pad(visible,
+                                  ((0, max(pad_h, 0)), (0, max(pad_w, 0))),
+                                  mode="edge")
+            visible = visible[:h, :w]
         else:
             obs = nearest_sample(
                 depth_tgt[..., None], jnp.stack([u_t, v_t], axis=-1),

@@ -203,7 +203,8 @@ def test_flow_occlusion_stride():
 
     # Identity poses: the sample grid is the pixel grid itself, so the
     # per-pixel visibility of a half-plane occluder is closed-form and the
-    # strided mask is its corner-subsample, exactly.
+    # strided mask is its block-CENTER subsample (each 4-px block carries
+    # the visibility of its s//2 = +2 pixel), exactly.
     bnd = W // 2 + 2  # NOT 4-aligned: blocks straddle the boundary
     xs = jnp.arange(W)[None, :] + jnp.zeros((H, 1))
     occ_half = jnp.where(xs < bnd, 0.1, 10.0)  # near wall left of bnd
@@ -212,7 +213,8 @@ def test_flow_occlusion_stride():
                               occlusion_stride=4)
     col = np.arange(W)[None, :].repeat(H, 0)
     np.testing.assert_array_equal(np.asarray(valid1), fg & (col >= bnd))
-    bnd4 = ((bnd + 3) // 4) * 4  # first 4-aligned corner right of the wall
+    # first 4-aligned block whose center (start + 2) clears the wall
+    bnd4 = ((bnd - 2 + 3) // 4) * 4
     np.testing.assert_array_equal(np.asarray(valid4), fg & (col >= bnd4))
     # flow agrees exactly wherever both masks are on
     both = np.asarray(valid1) & np.asarray(valid4)
