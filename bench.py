@@ -227,25 +227,31 @@ def main() -> int:
     faces = int(os.environ.get("BENCH_FACES", "0"))
     n_classes = int(os.environ.get("BENCH_CLASSES", "0"))
     cull_on = os.environ.get("BENCH_CULL", "1") != "0"
+    # Coarse-LOD face budget for the coarse iterations (the product
+    # default, config dataset.lod_faces; see RenderAssets.lod).  Only
+    # engages when it at least halves the face table, so the <=1,280-face
+    # headline meshes are unaffected.  BENCH_LOD=0 disables.
+    lod_faces = int(os.environ.get("BENCH_LOD", "1024")) or None
     if n_classes:
         from deepim_tpu.raster.mesh import decimate_mesh, random_mesh_zoo
 
         zoo = random_mesh_zoo(n_classes, seed=11, texture_prob=1.0)
         meshes = [decimate_mesh(m, faces or 4096) for m in zoo.values()]
-        assets = build_assets(meshes, num_points=3000, use_textures=True)
+        assets = build_assets(meshes, num_points=3000, use_textures=True,
+                              lod_faces=lod_faces)
     elif faces:
         from deepim_tpu.raster.mesh import decimate_mesh
 
         dense = [
             icosphere_mesh(0.05, subdivisions=5),       # ~20k faces
             torus_mesh(n_major=96, n_minor=48),         # ~9.2k
-            cylinder_mesh(segments=2048),               # ~8.2k
+            cylinder_mesh(segments=256, rows=16),      # ~8.7k, isotropic
             icosphere_mesh(0.07, subdivisions=5),
         ]
         meshes = [decimate_mesh(m, faces) for m in dense]
         assets = build_assets(
             meshes, sym_transforms=[None, rot_z_syms(8), None, None],
-            num_points=3000,
+            num_points=3000, lod_faces=lod_faces,
         )
     else:
         meshes = [
@@ -257,10 +263,13 @@ def main() -> int:
         assets = build_assets(
             meshes,
             sym_transforms=[rot_z_syms(2), None, None, rot_z_syms(8)],
-            num_points=3000,
+            num_points=3000, lod_faces=lod_faces,
         )
     if not cull_on and assets.cull_dir is not None:
         assets = assets._replace(cull_dir=jnp.zeros_like(assets.cull_dir))
+        if assets.lod is not None:
+            assets = assets._replace(lod=assets.lod._replace(
+                cull_dir=jnp.zeros_like(assets.lod.cull_dir)))
     model = DeepIMFlowNet(num_classes=assets.num_classes,
                           head_grid=bottleneck_grid(480, 640),
                           quant="int8" if QUANT.startswith("int8")
@@ -338,6 +347,8 @@ def main() -> int:
                   "serial_median_of_5",
         "quant": QUANT,
         "faces": int(max(np.asarray(m.faces).shape[0] for m in meshes)),
+        "lod_faces": (int(assets.lod.tri_pos.shape[2])
+                      if assets.lod is not None else 0),
         "classes": assets.num_classes,
         "textured": bool(assets.textured),
         "cull": cull_on,

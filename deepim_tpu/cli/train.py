@@ -110,12 +110,17 @@ def load_assets_and_names(cfg, eval_set: bool = False):
         if n.startswith(("zoo_cyl", "zoo_torus", "zoo_cone", "zoo_capsule",
                          "zoo_frustum", "zoo_tube")):
             return CONTINUOUS_Z
-        return sym_table.get(n)
+        # dense stand-in variants share their base shape's symmetry
+        # (torus_dense / cylinder_dense are as z-symmetric as the originals)
+        import re
+
+        return sym_table.get(re.sub(r"_dense\d*$", "", n), sym_table.get(n))
 
     syms = [sym_for(n) for n in names]
     use_tex = {"auto": None, "on": True, "off": False}[d.use_textures]
     assets = build_assets(meshes, sym_transforms=syms,
-                          num_points=d.num_points, use_textures=use_tex)
+                          num_points=d.num_points, use_textures=use_tex,
+                          lod_faces=d.lod_faces or None)
     return assets, names, [s is not None for s in syms]
 
 

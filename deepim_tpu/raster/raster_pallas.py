@@ -364,9 +364,15 @@ def bin_faces_packed(bbox, face_ok, image_size, tile,
         key2, jnp.arange(tx + 1, dtype=jnp.int32) << shift2
     ).astype(jnp.int32)
     gid_sorted = gids[(key2 & ((1 << shift2) - 1)) // tx]
-    # Layout: [gstarts (TX+1) | ids (G*TX) | 8 zero pad for block tails].
+    # Layout: [gstarts (TX+1) | ids (G*TX) | 8 zero pad for block tails |
+    # UNCAPPED global count].  The kernel never reads the final element;
+    # the launcher uses it to detect global-list overflow (a mesh with
+    # more than ``global_cap`` huge faces — e.g. low-poly CAD walls or
+    # full-height cylinder quads) and fall back LOSSLESSLY to the sorted
+    # kernel instead of silently dropping faces.
+    gtotal = jnp.sum((onscreen & ~small).astype(jnp.int32))
     glob_col = jnp.concatenate(
-        [gstarts, gid_sorted, jnp.zeros((8,), jnp.int32)]
+        [gstarts, gid_sorted, jnp.zeros((8,), jnp.int32), gtotal[None]]
     )
     return face_ids, starts, glob_col
 
@@ -523,18 +529,20 @@ def _raster_kernel_cols(starts_smem, glob_smem, ids_hbm, params_ref,
     rgb_ref[0, 2] = bsc[:] * inv
 
 
-#: Compaction budget as a fraction of the face table.  Back-face culling
-#: of a closed mesh invalidates ~half the faces (the projected front and
-#: back areas are equal; counts track area for near-uniform decimated
-#: tessellations), and mesh-padding to a class-wide max_faces invalidates
-#: more — but the binning sort used to process the span-expanded id list
-#: at FULL length regardless (round-3 DESIGN §15 open item, ~2.8 ms/iter
-#: at F=4096).  When every sample's valid-face count fits the budget, a
-#: cheap F-key partition sort compacts the face list BEFORE the S-fold
-#: span expansion, shrinking the main packed sort to 62.5%; otherwise a
-#: batch-level lax.cond falls back to the full-length path (losslessness
-#: is never traded).  0 disables compaction.
-_COMPACT_FRAC = 0.625
+#: Compaction budget as a fraction of the face table — DEFAULT OFF (0).
+#: Round 4 added a valid-first partition that compacts the face list
+#: before the S-fold span expansion so the main packed sort shrinks to
+#: 62.5% (motivated by culling invalidating ~half the faces).  Round 5
+#: re-measured it in the regime it was built for and it LOSES: once the
+#: cylinder-winding fix made every dense bench mesh cullable the
+#: compaction branch actually engaged, and at F=3996 B=128 crop-regime
+#: it cost 120.6 ms vs 77.4 ms without (tools/profile_dense.py) — the
+#: post-bin ``take_along_axis`` mapping ~F*S sorted ids back to the
+#: original face space is ~4M element-at-a-time gathers, dwarfing the
+#: ~5 ms the shorter sort saves.  The path is kept (tested, lossless,
+#: opt-in via ``compact_frac``) in case a gather-free id mapping makes
+#: it profitable later.
+_COMPACT_FRAC = 0.0
 
 
 def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
@@ -599,11 +607,32 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
         )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, TX+1 + G*TX + 8)
         return face_ids, starts, glob
 
+    def run_cols(ops):
+        _, _, _, face_ids, starts, glob = ops
+        rgb, depth = launch(face_ids, starts, glob)
+        return rgb[:, :, :h, :w], depth[:, :h, :w]
+
+    def run_sorted_fallback(ops):
+        # Lossless escape hatch for meshes with more than ``global_cap``
+        # huge faces (low-poly CAD walls, full-height quads): the sorted
+        # kernel with spans covering the whole tile grid bins EVERY face
+        # exactly (its own global list stays empty), at ~1.7x the cols
+        # kernel's time.  Silent face drops are never acceptable — they
+        # put holes in renders the refiner then "corrects" toward.
+        p2, bb, ok = ops[0], ops[1], ops[2]
+        return _render_from_params_sorted(
+            p2, bb, ok, image_size, (32, 256), interpret,
+            sy_span=pl.cdiv(h, 32), sx_span=pl.cdiv(w, 256))
+
+    def dispatch(binned):
+        overflow = jnp.max(binned[2][:, -1]) > global_cap
+        return jax.lax.cond(overflow, run_sorted_fallback, run_cols,
+                            (params, bbox, face_ok, *binned))
+
     budget = int(-(-int(f * compact_frac) // 128)) * 128 if compact_frac \
         else 0
     if not 0 < budget < f:
-        return (lambda rd: (rd[0][:, :, :h, :w], rd[1][:, :h, :w]))(
-            launch(*bin_full(None)))
+        return dispatch(bin_full(None))
 
     def bin_compact(_):
         # Valid-first stable partition (one F-key sort/sample), then bin
@@ -631,8 +660,7 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
         return face_ids, starts, glob
 
     fits = jnp.max(jnp.sum(face_ok, axis=1)) <= budget
-    rgb, depth = launch(*jax.lax.cond(fits, bin_compact, bin_full, None))
-    return rgb[:, :, :h, :w], depth[:, :h, :w]
+    return dispatch(jax.lax.cond(fits, bin_compact, bin_full, None))
 
 
 # Above this face budget the kernels' VMEM-resident (F, 24) param table
@@ -641,8 +669,16 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
 _FACE_CHUNK = 12288
 # Crossover measured on v5e (tools/profile_raster.py): the column kernel's
 # dense 8-face blocks win once tiles are crowded; the big-tile sorted
-# kernel wins for small face budgets.
+# kernel wins for small face budgets.  This default serves the SPARSE
+# regime (full-frame renders, object covers a fraction of the image).
 _COLS_MIN_FACES = 4096
+# In the zoom-CROP regime (refine loop: the object fills the frame) tiles
+# crowd much earlier, and the sorted kernel's per-face scalar coefficient
+# reads dominate: measured on v5e at B=128 480x640 crop intrinsics
+# (tools/profile_dense.py), cols-vs-sort is 57/56 ms at F=1008,
+# 72/91 at F=1520, and 87/183 at F=3996 — the crossover sits at ~1k
+# faces, not 4k.  render_crops dispatches on this bound.
+_COLS_MIN_FACES_CROP = 1024
 
 
 def _zmerge_nchw(a, b):

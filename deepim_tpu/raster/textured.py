@@ -86,6 +86,30 @@ def sample_texture_bilinear(texture: jax.Array, u: jax.Array,
     return top * (1 - fy) + bot * fy
 
 
+def _map_batch_chunks(fn, chunk: int, *args):
+    """Apply ``fn`` over the shared leading (batch) axis in serial chunks.
+
+    ``lax.map`` over chunk groups caps the deferred texture pass's live
+    memory at one chunk's intermediates: XLA fuses the 4 bilinear taps +
+    lerps into one kernel whose materialized (B, H, W, 3)-scale temps
+    reached ~20 GB at B=128 480x640 with 21 classes — past a v5e chip's
+    HBM (round-4 README's textured batch ceiling).  Chunking trades a
+    little dispatch serialization for an 8x smaller footprint; chunk <= 0
+    or an indivisible batch falls back to the unchunked single call
+    (largest divisor <= chunk is used when one exists).
+    """
+    b = args[0].shape[0]
+    if chunk <= 0 or b <= chunk:
+        return fn(*args)
+    while b % chunk:
+        chunk -= 1
+    if chunk <= 1:
+        return fn(*args)
+    split = [a.reshape((b // chunk, chunk) + a.shape[1:]) for a in args]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(split))
+    return out.reshape((b,) + out.shape[2:])
+
+
 def sample_texture_atlas(textures: jax.Array, tex_idx: jax.Array,
                          u: jax.Array, v: jax.Array) -> jax.Array:
     """Per-sample bilinear taps into a class atlas (C, Th, Tw, 3).
@@ -122,7 +146,7 @@ def sample_texture_atlas(textures: jax.Array, tex_idx: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("image_size", "z_near", "interpret", "binning",
-                     "max_faces_per_tile", "spans"),
+                     "max_faces_per_tile", "spans", "deferred_chunk"),
 )
 def render_batch_textured(
     tri_pos: jax.Array,  # (B, 9, F) corner-major object-frame positions
@@ -141,6 +165,7 @@ def render_batch_textured(
     max_faces_per_tile: int = 512,
     spans: tuple[int, int] = (4, 2),
     cull_dir: jax.Array | None = None,  # (B,) ±1 cull sign, 0 = two-sided
+    deferred_chunk: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
     """Textured render -> (rgb (B, H, W, 3), depth (B, H, W)).
 
@@ -148,6 +173,8 @@ def render_batch_textured(
     texture bilinearly and applies intensity.  Background stays 0.
     ``max_faces_per_tile``/``spans``/``cull_dir`` tune the shared raster
     dispatch the same way as the untextured ``render_batch_tri``.
+    ``deferred_chunk`` bounds the texture pass's live HBM by running it
+    over batch chunks (see :func:`_map_batch_chunks`; 0 = unchunked).
     """
     if cull_dir is None:
         pack = jax.vmap(
@@ -169,11 +196,17 @@ def render_batch_textured(
                                   binning, spans)
     u, v, intensity = uvi[..., 0], uvi[..., 1], uvi[..., 2]
     if texture.ndim == 4 and tex_idx is not None:
-        albedo = sample_texture_atlas(texture, tex_idx, u, v)
+        albedo = _map_batch_chunks(
+            lambda uu, vv, ti: sample_texture_atlas(texture, ti, uu, vv),
+            deferred_chunk, u, v, tex_idx)
     elif texture.ndim == 4:
-        albedo = jax.vmap(sample_texture_bilinear)(texture, u, v)
+        albedo = _map_batch_chunks(
+            lambda tt, uu, vv: jax.vmap(sample_texture_bilinear)(tt, uu, vv),
+            deferred_chunk, texture, u, v)
     else:
-        albedo = sample_texture_bilinear(texture, u, v)
+        albedo = _map_batch_chunks(
+            lambda uu, vv: sample_texture_bilinear(texture, uu, vv),
+            deferred_chunk, u, v)
     rgb = jnp.clip(albedo * intensity[..., None], 0.0, 1.0)
     rgb = jnp.where((depth > 0)[..., None], rgb, 0.0)
     return rgb, depth

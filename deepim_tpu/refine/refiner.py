@@ -81,6 +81,15 @@ class RenderAssets(NamedTuple):
     # consistently-wound meshes, where culling is exact and roughly halves
     # the raster kernel's face workload (the refine loop's hottest op).
     cull_dir: jax.Array | None = None  # (C,) float32
+    # Optional coarse level-of-detail: a nested RenderAssets built from
+    # the same meshes decimated to ``lod_faces`` (build_assets).  The
+    # refine loop's COARSE iterations render this level — they only
+    # correct gross pose error at half resolution, so a ~1k-face
+    # decimation is visually sufficient while cutting the dense-mesh
+    # raster cost ~2x per coarse iteration (round-4 face-budget table:
+    # the F=4096 real-asset budget ran 4.5x below the headline).
+    # ``textures``/``tex_idx`` are SHARED with the parent (same canvas).
+    lod: Any = None  # RenderAssets | None
 
     @property
     def num_classes(self) -> int:
@@ -94,7 +103,8 @@ class RenderAssets(NamedTuple):
 def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
                  max_vertices: int | None = None, max_faces: int | None = None,
                  max_syms: int | None = None,
-                 use_textures: bool | None = None) -> RenderAssets:
+                 use_textures: bool | None = None,
+                 lod_faces: int | None = None) -> RenderAssets:
     """Stack host Mesh objects into a RenderAssets (pads to shared budgets).
 
     ``use_textures``: None (default) auto-enables per-pixel texturing when
@@ -102,6 +112,11 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
     no deferred texture gather per rendered pixel); True requires at least
     one textured mesh.  Untextured meshes in a textured set get a constant
     texture at their mean vertex color.
+
+    ``lod_faces``: build a nested coarse level (``.lod``) with every mesh
+    decimated to this face budget — the refine loop renders it during
+    coarse-to-fine's coarse iterations (see ``RenderAssets.lod``).  Only
+    built when it would actually shrink the face table.
     """
     import numpy as np
 
@@ -123,6 +138,24 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
          else s.shape[0])
         for s in sym_transforms
     )
+    lod = None
+    # Built only when it at least HALVES the face table: near-budget
+    # meshes (e.g. 1,280-face procedural protocols with the default 1,024
+    # coarse budget) would otherwise pay a train/eval appearance mismatch
+    # for a ~20% coarse-iteration saving; the dense-asset regime this
+    # exists for (4k+ faces) always clears the bar.
+    if lod_faces and max(m.num_faces for m in meshes) > 2 * lod_faces:
+        from deepim_tpu.raster.mesh import decimate_mesh
+
+        lod = build_assets(
+            [decimate_mesh(m, lod_faces) for m in meshes],
+            sym_transforms=sym_transforms,
+            # The coarse level is only RENDERED (points/syms/diameters are
+            # consumed from the fine level by losses/metrics) — a minimal
+            # point set keeps the duplicate small.
+            num_points=min(num_points, 16),
+            use_textures=use_textures,
+        )
     padded = [pad_mesh(m, mv + 1, mf) for m in meshes]  # +1 pad vertex
     pts = [sample_points(m, num_points) for m in meshes]
     corners = [
@@ -130,7 +163,14 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
                    np.float32)
         for m in meshes
     ]
+    tex = _texture_fields(meshes, padded, use_textures)
+    if lod is not None and tex:
+        # Same per-mesh texture images -> identical canvases; share the
+        # device atlas instead of holding a duplicate in HBM.
+        lod = lod._replace(textures=tex["textures"],
+                           tex_idx=tex["tex_idx"])
     return RenderAssets(
+        lod=lod,
         vertices=jnp.asarray(np.stack([p.vertices for p in padded])),
         faces=jnp.asarray(np.stack([p.faces for p in padded])),
         colors=jnp.asarray(np.stack([p.colors for p in padded])),
@@ -156,7 +196,7 @@ def build_assets(meshes, sym_transforms=None, num_points: int = 3000,
         cull_dir=jnp.asarray(
             np.asarray([cull_direction(m) for m in meshes], np.float32)
         ),
-        **_texture_fields(meshes, padded, use_textures),
+        **tex,
     )
 
 
@@ -216,12 +256,17 @@ def _texture_fields(meshes, padded, use_textures):
 
 
 def gather_class(assets: RenderAssets, class_idx: jax.Array) -> RenderAssets:
-    """Per-sample asset views: class axis C -> batch axis B via gather."""
+    """Per-sample asset views: class axis C -> batch axis B via gather.
+
+    ``textures`` keeps its class axis (the deferred pass indexes the atlas
+    per sample); ``lod`` is not a per-class array — the refine loop
+    gathers the coarse level itself for its coarse iterations.
+    """
     idx = class_idx.astype(jnp.int32)
     return assets._replace(**{
         f: None if a is None else jnp.take(a, idx, axis=0)
         for f, a in zip(assets._fields, assets)
-        if f != "textures"
+        if f not in ("textures", "lod")
     })
 
 
@@ -241,6 +286,13 @@ def render_crops(
     bilinear texture gather per pixel — the reference's GLSL fragment-
     shader sampling).  The XLA oracle renderer always uses baked colors.
     """
+    # Crop-regime kernel dispatch: the object fills the frame here, which
+    # crowds tiles far earlier than the sparse full-frame regime `auto`
+    # is tuned for — at the real-asset 4,096-face budget `auto` picked
+    # the sorted kernel at 2x the cols kernel's time (see
+    # raster_pallas._COLS_MIN_FACES_CROP for the measurements).
+    crop_binning = ("cols" if assets_b.tri_pos.shape[2]
+                    >= raster_pallas._COLS_MIN_FACES_CROP else "sort")
     if assets_b.textured and renderer in ("pallas", "pallas_interpret"):
         from deepim_tpu.raster.textured import render_batch_textured
 
@@ -253,7 +305,7 @@ def render_crops(
             interpret=renderer == "pallas_interpret",
             tex_idx=assets_b.tex_idx,
             max_faces_per_tile=max_faces_per_tile, spans=(8, 3),
-            cull_dir=assets_b.cull_dir,
+            cull_dir=assets_b.cull_dir, binning=crop_binning,
         )
     if renderer in ("pallas", "pallas_interpret"):
         # spans (8, 3): the crop intrinsics make the object fill the
@@ -266,7 +318,7 @@ def render_crops(
             max_faces_per_tile=max_faces_per_tile,
             interpret=renderer == "pallas_interpret",
             spans=(8, 3),
-            cull_dir=assets_b.cull_dir,
+            cull_dir=assets_b.cull_dir, binning=crop_binning,
         )
     if renderer == "xla":
         if assets_b.cull_dir is None:
@@ -371,9 +423,15 @@ def render_scene(
                                   (32, 256), max_faces_per_tile, interpret,
                                   "auto")
     if assets.textured:
-        albedo = sample_texture_bilinear(
-            assets.textures.reshape(h_all, tex.shape[2], 3),
-            out[..., 0], out[..., 1])
+        from deepim_tpu.raster.textured import _map_batch_chunks
+
+        stacked_tex = assets.textures.reshape(h_all, tex.shape[2], 3)
+        # Chunked like render_batch_textured's deferred pass: the fused
+        # bilinear taps' (B, H, W, 3)-scale temps are the multi-object
+        # path's HBM peak too.
+        albedo = _map_batch_chunks(
+            lambda uu, vv: sample_texture_bilinear(stacked_tex, uu, vv),
+            16, out[..., 0], out[..., 1])
         # background: interpolated intensity is 0 there, so rgb stays 0
         out = jnp.clip(albedo * out[..., 2:3], 0.0, 1.0)
     return out, depth
@@ -538,10 +596,10 @@ def refine_poses(
     """
     assets_b = gather_class(assets, class_idx)
 
-    def make_step(size):
+    def make_step(size, ab):
         def step(pose, _):
             outs = refine_step(
-                variables, model, assets_b, obs_rgb, pose, k, class_idx,
+                variables, model, ab, obs_rgb, pose, k, class_idx,
                 size, renderer, zoom_margin, obs_mask=obs_mask,
                 obs_depth=obs_depth,
             )
@@ -560,12 +618,18 @@ def refine_poses(
                 "bottleneck_grid(H, W) (a flatten head without it fails "
                 "deep inside model.apply with a Dense shape mismatch)")
         c_size = coarse_size or (out_size[0] // 2, out_size[1] // 2)
-        pose, traj_c = jax.lax.scan(make_step(c_size), pose, None,
+        # Coarse iterations render the coarse LOD when the asset set
+        # carries one (build_assets lod_faces): they only correct gross
+        # pose error, so the ~1k-face level is visually sufficient and
+        # roughly halves the dense-mesh raster cost per coarse iteration.
+        ab_coarse = (gather_class(assets.lod, class_idx)
+                     if assets.lod is not None else assets_b)
+        pose, traj_c = jax.lax.scan(make_step(c_size, ab_coarse), pose, None,
                                     length=coarse_iters)
         if return_all:
             trajs.append(traj_c)
     if num_iters > coarse_iters:
-        pose, traj_f = jax.lax.scan(make_step(out_size), pose, None,
+        pose, traj_f = jax.lax.scan(make_step(out_size, assets_b), pose, None,
                                     length=num_iters - coarse_iters)
         if return_all:
             trajs.append(traj_f)

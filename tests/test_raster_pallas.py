@@ -271,3 +271,39 @@ def test_cols_compact_binning_matches_full():
     tiny = _render_from_params_cols(params, bbox, face_ok, (H, W),
                                     interpret=True, compact_frac=0.05)
     np.testing.assert_array_equal(np.asarray(tiny[1]), np.asarray(full[1]))
+
+
+def test_cols_global_overflow_falls_back_losslessly():
+    """A mesh with more huge faces than the cols kernel's global cap must
+    render EXACTLY via the sorted-kernel fallback, not with holes.
+
+    Regression: single-row dense cylinders project hundreds of full-height
+    side quads; every one lands on the per-column global list, whose
+    global_cap (120) silently truncated — round 5 caught 7-15% silhouette
+    error against the oracle on exactly these samples.  The launcher now
+    detects the uncapped count and lax.cond's to the sorted kernel with
+    full-grid spans (nothing global, nothing dropped).
+    """
+    from deepim_tpu.raster.mesh import cylinder_mesh
+
+    m = cylinder_mesh(radius=0.05, height=0.3, segments=512, rows=1)
+    # Cylinder axis VERTICAL in screen space (rot 90° about x) so every
+    # side quad projects at full image height; zoomed-in K keeps them in
+    # the tall-face regime.  Verified to put ~500 faces on the global
+    # list (cap 120) — without the fallback this renders with holes.
+    r_x = euler2mat(jnp.pi / 2, 0.0, 0.0)
+    poses = jnp.stack([
+        se3_from_rt(r_x, jnp.array([0.0, 0.0, 0.4])),
+        se3_from_rt(euler2mat(jnp.pi / 2, 0.15, 0.1),
+                    jnp.array([0.01, 0.0, 0.45])),
+    ])
+    k_zoom = make_intrinsics(fx=180.0, fy=180.0, cx=W / 2, cy=H / 2)
+    ks = jnp.tile(k_zoom, (2, 1, 1))
+    rgb_p, d_p = render_batch(*_args(m), poses, ks, (H, W),
+                              interpret=True, binning="cols")
+    oracle = jax.vmap(lambda p: render_mesh(*_args(m), p, k_zoom, (H, W)))
+    rgb_o, d_o = oracle(poses)
+    d_close = np.isclose(np.asarray(d_p), np.asarray(d_o), atol=1e-3)
+    sil = (np.asarray(d_p) > 0) == (np.asarray(d_o) > 0)
+    assert sil.mean() > 0.999, f"silhouette mismatch {1 - sil.mean():.4f}"
+    assert d_close.mean() > 0.998, f"depth mismatch {1 - d_close.mean():.4f}"

@@ -334,3 +334,59 @@ def test_head_grid_noop_at_native_resolution(assets):
     out_b = m_grid.apply(v, x)
     np.testing.assert_array_equal(out_a["rot_raw"], out_b["rot_raw"])
     np.testing.assert_array_equal(out_a["trans"], out_b["trans"])
+
+
+class TestCoarseLOD:
+    """RenderAssets.lod: the coarse level-of-detail for coarse-to-fine."""
+
+    def test_lod_built_only_when_it_halves(self):
+        dense = icosphere_mesh(0.05, subdivisions=3)  # 1280 faces
+        a = build_assets([dense], num_points=16, lod_faces=256)
+        assert a.lod is not None
+        assert a.lod.tri_pos.shape[2] <= 256
+        assert a.lod.lod is None  # one level only
+        # 1280 < 2*1024: near-budget meshes skip the LOD (train/eval
+        # appearance mismatch isn't worth a ~20% coarse saving)
+        assert build_assets([dense], num_points=16,
+                            lod_faces=1024).lod is None
+        assert build_assets([dense], num_points=16).lod is None
+
+    def test_gather_class_leaves_lod_with_class_axis(self):
+        a = build_assets(
+            [icosphere_mesh(0.05, subdivisions=3), box_mesh((0.1, 0.1, 0.1))],
+            num_points=16, lod_faces=256)
+        ab = gather_class(a, jnp.array([1, 1, 0]))
+        assert ab.tri_pos.shape[0] == 3
+        assert ab.lod.tri_pos.shape[0] == a.num_classes  # untouched
+        ab_lod = gather_class(a.lod, jnp.array([1, 1, 0]))
+        assert ab_lod.tri_pos.shape[0] == 3
+
+    def test_lod_shares_texture_atlas(self):
+        from deepim_tpu.raster.mesh import texturize
+
+        meshes = [texturize(icosphere_mesh(0.05, subdivisions=3), seed=1),
+                  texturize(box_mesh((0.1, 0.1, 0.1)), seed=2)]
+        a = build_assets(meshes, num_points=16, lod_faces=256,
+                         use_textures=True)
+        assert a.lod is not None and a.lod.textured
+        assert a.lod.textures is a.textures  # same device array, no copy
+
+    def test_refine_runs_with_lod(self):
+        a = build_assets(
+            [icosphere_mesh(0.05, subdivisions=2), box_mesh((0.1, 0.1, 0.1))],
+            num_points=16, lod_faces=96)
+        from deepim_tpu.models import bottleneck_grid
+
+        model = DeepIMFlowNet(num_classes=2, head_grid=bottleneck_grid(H, W))
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 6)))
+        b = 2
+        pose = jnp.stack([_pose(0.3), _pose(-0.2, tz=0.6)])
+        k = jnp.tile(jnp.asarray(K_CAM)[None], (b, 1, 1))
+        obs = jnp.zeros((b, H, W, 3))
+        cls = jnp.array([0, 1])
+        out = refine_poses(variables, model, a, obs, pose, k, cls,
+                           num_iters=2, out_size=(H, W), renderer="xla",
+                           coarse_iters=1)
+        assert out.shape == (b, 3, 4)
+        assert bool(jnp.isfinite(out).all())
