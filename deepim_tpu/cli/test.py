@@ -52,7 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--init-trans-noise", type=float, default=-1.0,
                    help="override the eval init-pose translation noise std "
                         "(meters, all axes; max = 3x std)")
-    p.add_argument("--quant-calib", default="max",
+    p.add_argument("--quant-calib", default="max_c",
                    help="int8_static calibration estimator: max | p999 "
                         "(99.9%% clip) | max_c / p999_c (per-channel, "
                         "folded into weights) — see models/quant.py")
@@ -62,6 +62,11 @@ def parse_args(argv=None):
                         "the quantized-inference path against the same "
                         "checkpoint ('int8_static' first runs a short "
                         "activation-scale calibration over eval batches)")
+    p.add_argument("--results-out", default="",
+                   help="ALSO write the eval results JSON (wrapped with "
+                        "argv/git metadata) to this path — protocol runs "
+                        "point it into the committed results/ tree so "
+                        "published numbers stay auditable")
     p.add_argument("--save-poses", action="store_true",
                    help="write per-sample refined pose trajectories to "
                         "refined_poses.npz (reference pred_eval stores "
@@ -467,6 +472,11 @@ def main(argv=None):
               f"{traj.shape[0] - 1} iters, GT) to {vis_dir}")
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
         json.dump(results, f, indent=2)
+    if args.results_out:
+        from deepim_tpu.utils.results import record_result
+
+        record_result(args.results_out, results, experiment=cfg.experiment,
+                      argv=argv)
 
     if args.save_poses:
         # Reference pred_eval keeps all_poses_est/all_poses_gt for the

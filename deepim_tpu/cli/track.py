@@ -40,6 +40,10 @@ def parse_args(argv=None):
                         "truncated |RGB diff| over visible foreground)")
     p.add_argument("--recover-hypotheses", type=int, default=4)
     p.add_argument("--recover-iters", type=int, default=4)
+    p.add_argument("--results-out", default="",
+                   help="ALSO write the tracking results JSON (wrapped "
+                        "with argv/git metadata) to this path — protocol "
+                        "runs point it into the committed results/ tree")
     p.add_argument("--label-ids", choices=("slot", "global"),
                    default="slot",
                    help="label.png pixel convention: 'slot' = 1 + object "
@@ -211,6 +215,11 @@ def main(argv=None):
                                 f"(AUC = YCB protocol)"))
     with open(os.path.join(out_dir, "track_results.json"), "w") as f:
         json.dump(results, f, indent=2)
+    if args.results_out:
+        from deepim_tpu.utils.results import record_result
+
+        record_result(args.results_out, results, experiment=cfg.experiment,
+                      argv=argv)
     return 0
 
 

@@ -61,7 +61,7 @@ class PoseRefinerService:
                  gather_window_s: float = 0.002,
                  num_iters: int | None = None,
                  calibration_batches=None,
-                 calibration_mode: str = "max"):
+                 calibration_mode: str = "max_c"):
         import jax
         import numpy as np
 

@@ -96,3 +96,48 @@ def test_runbook_stops_on_validation_error(tmp_path, capsys, monkeypatch):
     rc = main([root, "--dry-run"])
     assert rc == 2
     assert "stopping" in capsys.readouterr().out
+
+
+def test_runbook_weights_overlay_dry_run(tmp_path, capsys, monkeypatch):
+    """The --weights leg: a reference-style .npz dump must convert, save as
+    a restorable checkpoint, and flip the planned eval off --no-refine —
+    exercised in CI so asset day's *weights* path has zero untested
+    plumbing (round-4 VERDICT #8)."""
+    monkeypatch.chdir(tmp_path)
+    root = _converted_root(tmp_path)
+
+    # Small base config so the model init stays CI-cheap.
+    mini_cfg = str(tmp_path / "mini.yaml")
+    with open(mini_cfg, "w") as f:
+        yaml.safe_dump({
+            "experiment": "mini",
+            "network": {"input_height": 64, "input_width": 128},
+            "dataset": {"num_points": 32},
+        }, f)
+
+    import jax
+
+    from deepim_tpu.config import update_config
+    from deepim_tpu.config.config import config_from_dict
+    from deepim_tpu.train import init_state, make_model
+    from deepim_tpu.train.convert_mxnet import export_flax_to_mxnet_npz
+
+    cfg = config_from_dict(
+        {"dataset": {"objects": ["box", "icosphere"], "root": root,
+                     "name": "lm6d"}},
+        base=update_config(mini_cfg))
+    model = make_model(cfg, 2)
+    state = init_state(cfg, model, jax.random.PRNGKey(1))
+    npz = str(tmp_path / "ref_dump.npz")
+    export_flax_to_mxnet_npz(state.params, npz)
+
+    rc = main([root, "--cfg", mini_cfg, "--weights", npz, "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "converted weights ->" in out
+    assert "--no-refine" not in out  # checkpoint present -> refined eval
+
+    from deepim_tpu.train.checkpoint import latest_step
+
+    ckpt_dir = os.path.join("output", "real_data_runbook", "checkpoints")
+    assert latest_step(ckpt_dir) is not None

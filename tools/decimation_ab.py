@@ -41,6 +41,16 @@ def parse_args(argv=None):
                         "meshes (5 -> ~20k faces, the scanned-mesh regime)")
     p.add_argument("--batch-size", type=int, default=0,
                    help="override cfg.test.batch_size (CPU smoke)")
+    p.add_argument("--lod-faces", type=int, default=0,
+                   help="also build the coarse LOD level at this budget "
+                        "for every budget row (validates the product "
+                        "default dataset.lod_faces: coarse iterations "
+                        "render the LOD level)")
+    p.add_argument("--coarse-iters", type=int, default=-1,
+                   help="override cfg.test.coarse_iters (-1 = config)")
+    p.add_argument("--results-out", default="",
+                   help="write the table to this JSON (committed "
+                        "results/ tree)")
     return p.parse_args(argv)
 
 
@@ -69,7 +79,7 @@ def main(argv=None) -> int:
         icosphere_mesh(0.06, subdivisions=args.subdiv),
         icosphere_mesh(0.05, subdivisions=args.subdiv),
         torus_mesh(n_major=96, n_minor=48),
-        cylinder_mesh(segments=2048),
+        cylinder_mesh(segments=256, rows=16),
     ][: len(cfg.dataset.objects)]
     while len(dense) < len(cfg.dataset.objects):
         dense.append(icosphere_mesh(0.05 + 0.01 * len(dense),
@@ -112,6 +122,9 @@ def main(argv=None) -> int:
                             if kk in ("obs_rgb", "pose_src", "pose_tgt",
                                       "class_idx")})
 
+    coarse_iters = (args.coarse_iters if args.coarse_iters >= 0
+                    else cfg.test.coarse_iters)
+    rows = []
     header = f"{'budget':>8} {'faces':>7} {'add(-s)':>9} {'5d5cm':>7} " \
              f"{'proj2d':>7} {'auc':>7} {'mean_rot':>9}"
     print(header)
@@ -121,7 +134,8 @@ def main(argv=None) -> int:
             meshes = [decimate_mesh(m, budget) for m in dense]
         else:
             meshes = dense
-        assets_b = build_assets(meshes, num_points=d.num_points)
+        assets_b = build_assets(meshes, num_points=d.num_points,
+                                lod_faces=args.lod_faces or None)
         # metric points from the FULL mesh in every row (pose errors must
         # be comparable across budgets)
         assets_b = assets_b._replace(points=full_assets.points,
@@ -134,7 +148,7 @@ def main(argv=None) -> int:
                 jnp.asarray(b["pose_src"]), ks,
                 jnp.asarray(b["class_idx"]),
                 num_iters=cfg.test.test_iter, out_size=out_size,
-                renderer=renderer, coarse_iters=cfg.test.coarse_iters,
+                renderer=renderer, coarse_iters=coarse_iters,
             )
             est_all.append(np.asarray(est))
             gt_all.append(b["pose_tgt"])
@@ -150,6 +164,16 @@ def main(argv=None) -> int:
               f"{m['add(-s)_0.1d']:>9.2f} {m['5deg_5cm']:>7.2f} "
               f"{m['proj2d_5px']:>7.2f} {m['auc_add(-s)']:>7.2f} "
               f"{m['mean_rot_deg']:>9.2f}")
+        rows.append({"budget": budget, "faces": faces,
+                     "lod_faces": args.lod_faces,
+                     "coarse_iters": coarse_iters, "n": int(est.shape[0]),
+                     "mean": m})
+    if args.results_out:
+        from deepim_tpu.utils.results import record_result
+
+        record_result(args.results_out,
+                      {"rows": rows, "checkpoint_step": int(state.step),
+                       "samples": n}, experiment=cfg.experiment, argv=argv)
     return 0
 
 
