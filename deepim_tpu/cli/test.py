@@ -62,6 +62,11 @@ def parse_args(argv=None):
                         "the quantized-inference path against the same "
                         "checkpoint ('int8_static' first runs a short "
                         "activation-scale calibration over eval batches)")
+    p.add_argument("--seed", type=int, default=-1,
+                   help="evaluate a seed-variance training run: suffixes "
+                        "the experiment dir with _seed<k> exactly like "
+                        "cli.train --seed (the EVAL set stays the fixed "
+                        "protocol one, so runs differ only by training)")
     p.add_argument("--results-out", default="",
                    help="ALSO write the eval results JSON (wrapped with "
                         "argv/git metadata) to this path — protocol runs "
@@ -95,6 +100,8 @@ def main(argv=None):
     from deepim_tpu.train.checkpoint import latest_step, restore_checkpoint
 
     cfg = update_config(args.cfg)
+    if args.seed >= 0:
+        cfg.experiment = f"{cfg.experiment}_seed{args.seed}"
     if args.quant:
         cfg.network.quant = args.quant
     if args.init_rot_noise >= 0:

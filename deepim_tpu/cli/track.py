@@ -40,6 +40,10 @@ def parse_args(argv=None):
                         "truncated |RGB diff| over visible foreground)")
     p.add_argument("--recover-hypotheses", type=int, default=4)
     p.add_argument("--recover-iters", type=int, default=4)
+    p.add_argument("--seed", type=int, default=-1,
+                   help="track with a seed-variance training run's "
+                        "checkpoint: suffixes the experiment dir with "
+                        "_seed<k> exactly like cli.train --seed")
     p.add_argument("--results-out", default="",
                    help="ALSO write the tracking results JSON (wrapped "
                         "with argv/git metadata) to this path — protocol "
@@ -75,6 +79,8 @@ def main(argv=None):
     from deepim_tpu.train.checkpoint import latest_step, restore_checkpoint
 
     cfg = update_config(args.cfg)
+    if args.seed >= 0:
+        cfg.experiment = f"{cfg.experiment}_seed{args.seed}"
     out_dir = os.path.join(cfg.output_dir, cfg.experiment)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     d = cfg.dataset

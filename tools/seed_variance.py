@@ -19,7 +19,13 @@ import sys
 
 
 def main(argv=None) -> int:
-    dirs = (argv or sys.argv[1:])
+    args = list(argv or sys.argv[1:])
+    out_path = ""
+    if "--results-out" in args:
+        i = args.index("--results-out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    dirs = args
     if len(dirs) < 2:
         print(__doc__)
         return 2
@@ -35,6 +41,7 @@ def main(argv=None) -> int:
         print(f"{os.path.basename(d.rstrip('/')):<36}"
               + "".join(f"{m[k]:>14.2f}" for k in metrics) + f"{n:>7}")
     print("-" * (36 + 14 * len(metrics) + 7))
+    agg = {}
     for label, fn in (
         ("mean", lambda v: sum(v) / len(v)),
         ("sigma", lambda v: math.sqrt(
@@ -42,7 +49,16 @@ def main(argv=None) -> int:
         ("range", lambda v: max(v) - min(v)),
     ):
         vals = [fn([m[k] for _, m, _ in rows]) for k in metrics]
+        agg[label] = dict(zip(metrics, vals))
         print(f"{label:<36}" + "".join(f"{v:>14.2f}" for v in vals))
+    if out_path:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from deepim_tpu.utils.results import record_result
+
+        record_result(out_path, {
+            "runs": [{"dir": d, "mean": m, "n": n} for d, m, n in rows],
+            **agg,
+        }, experiment="seed_variance", argv=list(dirs))
     return 0
 
 
