@@ -230,8 +230,11 @@ def main() -> int:
     # Coarse-LOD face budget for the coarse iterations (the product
     # default, config dataset.lod_faces; see RenderAssets.lod).  Only
     # engages when it at least halves the face table, so the <=1,280-face
-    # headline meshes are unaffected.  BENCH_LOD=0 disables.
-    lod_faces = int(os.environ.get("BENCH_LOD", "1024")) or None
+    # headline meshes are unaffected; with BENCH_COARSE=0 there are no
+    # coarse iterations to render it, so it is not built.  BENCH_LOD=0
+    # disables.
+    lod_faces = (int(os.environ.get("BENCH_LOD", "1024")) or None
+                 if COARSE_ITERS > 0 else None)
     if n_classes:
         from deepim_tpu.raster.mesh import decimate_mesh, random_mesh_zoo
 

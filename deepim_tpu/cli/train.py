@@ -118,9 +118,13 @@ def load_assets_and_names(cfg, eval_set: bool = False):
 
     syms = [sym_for(n) for n in names]
     use_tex = {"auto": None, "on": True, "off": False}[d.use_textures]
+    # The coarse LOD is only rendered by refine_poses' coarse iterations;
+    # with coarse-to-fine off it would be built (per-mesh decimation at
+    # startup), replicated per shard, and never touched — pure waste.
+    lod = d.lod_faces if cfg.test.coarse_iters > 0 else None
     assets = build_assets(meshes, sym_transforms=syms,
                           num_points=d.num_points, use_textures=use_tex,
-                          lod_faces=d.lod_faces or None)
+                          lod_faces=lod or None)
     return assets, names, [s is not None for s in syms]
 
 

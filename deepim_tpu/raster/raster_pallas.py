@@ -303,8 +303,11 @@ def bin_faces_packed(bbox, face_ok, image_size, tile,
       the key/value sort — one sorted operand instead of two, and the
       face id is recovered as ``(key & mask) // S`` (slot = face*S + k).
 
-    Returns (face_ids (F*S,) int32 sorted by tile, starts (T+1,) int32,
-    glob_ids (global_cap,) int32, gcount () int32).
+    Returns ``(face_ids (F*S,) int32 sorted by tile, starts (T+1,) int32,
+    glob_col)`` where ``glob_col`` is the concatenated global-face column
+    ``[gstarts (TX+1) | gid_sorted (G*TX) | 8 zero pad | uncapped global
+    count (1)]`` — the kernel reads the first three segments, the
+    launcher reads the trailing count to detect overflow (see below).
     """
     h, w = image_size
     th, tw = tile
@@ -604,7 +607,8 @@ def _render_from_params_cols(params, bbox, face_ok, image_size, interpret,
         face_ids, starts, glob = jax.vmap(
             lambda bb, ok: bin_faces_packed(bb, ok, image_size, (8, 128),
                                             sy_span, sx_span, global_cap)
-        )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, TX+1 + G*TX + 8)
+        )(bbox, face_ok)  # (B, F*S), (B, T+1), (B, TX+1 + G*TX + 8 + 1)
+        # glob's final element = uncapped global count (overflow sentinel)
         return face_ids, starts, glob
 
     def run_cols(ops):

@@ -94,20 +94,25 @@ def _map_batch_chunks(fn, chunk: int, *args):
     lerps into one kernel whose materialized (B, H, W, 3)-scale temps
     reached ~20 GB at B=128 480x640 with 21 classes — past a v5e chip's
     HBM (round-4 README's textured batch ceiling).  Chunking trades a
-    little dispatch serialization for an 8x smaller footprint; chunk <= 0
-    or an indivisible batch falls back to the unchunked single call
-    (largest divisor <= chunk is used when one exists).
+    little dispatch serialization for an 8x smaller footprint.
+    Indivisible batches are zero-PADDED to the next chunk multiple and
+    sliced back (u=v=0 taps on pad rows are harmless) — falling back to
+    the unchunked call there would silently reintroduce the OOM for,
+    say, a prime-sized leftover eval batch.  chunk <= 0 disables.
     """
     b = args[0].shape[0]
     if chunk <= 0 or b <= chunk:
         return fn(*args)
-    while b % chunk:
-        chunk -= 1
-    if chunk <= 1:
-        return fn(*args)
-    split = [a.reshape((b // chunk, chunk) + a.shape[1:]) for a in args]
+    pad = (-b) % chunk
+    padded = [
+        jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+        for a in args
+    ]
+    split = [a.reshape(((b + pad) // chunk, chunk) + a.shape[1:])
+             for a in padded]
     out = jax.lax.map(lambda xs: fn(*xs), tuple(split))
-    return out.reshape((b,) + out.shape[2:])
+    return out.reshape((b + pad,) + out.shape[2:])[:b]
 
 
 def sample_texture_atlas(textures: jax.Array, tex_idx: jax.Array,

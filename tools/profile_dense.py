@@ -166,11 +166,13 @@ def main():
 
     @jax.jit
     def cols_launch(p2, bb, ok):
+        # opt-in compaction (default is off; this row keeps the A/B alive)
         return raster_pallas._render_from_params_cols(p2, bb, ok, (H, W),
-                                                      False)
+                                                      False,
+                                                      compact_frac=0.625)
 
     t_cols = timeit(cols_launch, params, bbox, face_ok)
-    print(f"bin+kernel cols:          {t_cols:8.2f} ms")
+    print(f"bin+kernel cols (compact 0.625): {t_cols:8.2f} ms")
 
     @jax.jit
     def cols_nocompact(p2, bb, ok):

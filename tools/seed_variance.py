@@ -19,13 +19,17 @@ import sys
 
 
 def main(argv=None) -> int:
-    args = list(argv or sys.argv[1:])
-    out_path = ""
-    if "--results-out" in args:
-        i = args.index("--results-out")
-        out_path = args[i + 1]
-        del args[i:i + 2]
-    dirs = args
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("dirs", nargs="*", help="per-seed run output dirs")
+    p.add_argument("--results-out", default="",
+                   help="record the aggregate into this JSON "
+                        "(committed results/ tree)")
+    args = p.parse_args(argv)
+    out_path = args.results_out
+    dirs = args.dirs
     if len(dirs) < 2:
         print(__doc__)
         return 2
