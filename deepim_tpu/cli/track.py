@@ -99,7 +99,15 @@ def main(argv=None):
 
     root = args.video_root
     if not root:
+        # The cache key must carry every generation parameter: a run with
+        # --num-frames 32 must not silently reuse 16-frame data generated
+        # by an earlier invocation (this happened; the identical metrics
+        # were the tell).
         suffix = f"_occ{args.occluders}" if args.occluders else ""
+        if args.num_frames != 8:
+            suffix += f"_f{args.num_frames}"
+        if args.objects_per_seq != 1:
+            suffix += f"_o{args.objects_per_seq}"
         root = os.path.join(out_dir, f"video_data{suffix}")
         if not os.path.isdir(os.path.join(root, "video_sets")):
             print(f"generating synthetic video dataset under {root}")
